@@ -1,0 +1,182 @@
+"""Shared types for the engine.
+
+Capability parity with the reference's shared types layer
+(reference: pkg/types/types.go:64-193) — re-designed as Python dataclasses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import time
+from typing import Any, Optional, Sequence
+
+
+class DistanceMetric(enum.IntEnum):
+    """Distance metrics supported by the engine.
+
+    Values match the reference proto enum (reference:
+    schemas/proto/scintirete/v1/scintirete.proto DistanceMetric) where
+    0 is unspecified.
+    """
+
+    UNSPECIFIED = 0
+    L2 = 1
+    COSINE = 2
+    INNER_PRODUCT = 3
+
+    @classmethod
+    def parse(cls, value: "DistanceMetric | int | str") -> "DistanceMetric":
+        if isinstance(value, DistanceMetric):
+            return value
+        if isinstance(value, int):
+            return cls(value)
+        name = value.strip().upper().replace("-", "_")
+        aliases = {
+            "L2": cls.L2,
+            "EUCLIDEAN": cls.L2,
+            "COSINE": cls.COSINE,
+            "IP": cls.INNER_PRODUCT,
+            "INNER_PRODUCT": cls.INNER_PRODUCT,
+            "DOT": cls.INNER_PRODUCT,
+        }
+        if name not in aliases:
+            raise ValueError(f"unknown distance metric: {value!r}")
+        return aliases[name]
+
+
+# Default HNSW hyper-parameters (reference: pkg/types/types.go:104-112 and
+# configs/scintirete.template.toml:95-99).
+DEFAULT_M = 16
+DEFAULT_EF_CONSTRUCTION = 200
+DEFAULT_EF_SEARCH = 50
+DEFAULT_MAX_LAYERS = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class HNSWParams:
+    """HNSW build/search parameters.
+
+    Reference: pkg/types/types.go HNSWParams. `ml` (level decay) defaults to
+    1/ln(2) so P(level >= L) = 2^-L (reference: hnsw.go:458-469).
+    `seed` drives reproducible level assignment; None -> time-based
+    (reference default is time.Now().UnixNano()).
+    """
+
+    m: int = DEFAULT_M
+    ef_construction: int = DEFAULT_EF_CONSTRUCTION
+    ef_search: int = DEFAULT_EF_SEARCH
+    max_layers: int = DEFAULT_MAX_LAYERS
+    seed: Optional[int] = None
+
+    def resolved_seed(self) -> int:
+        if self.seed is not None:
+            return int(self.seed)
+        return time.time_ns()
+
+    def validate(self) -> None:
+        from scintirete_tpu.errors import ScintireteError, ErrorCode
+
+        if self.m <= 0:
+            raise ScintireteError(ErrorCode.INVALID_PARAMETER, "hnsw m must be > 0")
+        if self.ef_construction <= 0:
+            raise ScintireteError(
+                ErrorCode.INVALID_PARAMETER, "hnsw ef_construction must be > 0"
+            )
+        if self.ef_search <= 0:
+            raise ScintireteError(
+                ErrorCode.INVALID_PARAMETER, "hnsw ef_search must be > 0"
+            )
+        if self.max_layers <= 0:
+            raise ScintireteError(
+                ErrorCode.INVALID_PARAMETER, "hnsw max_layers must be > 0"
+            )
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchParams:
+    """Per-query search parameters (reference: pkg/types/types.go SearchParams).
+
+    `ef_search=None` means "use the index default" (reference: hnsw.go:300-303).
+    `include_vector` controls whether result vectors are materialized
+    (reference: scintirete.proto SearchRequest.include_vector, default false).
+    """
+
+    top_k: int = 10
+    ef_search: Optional[int] = None
+    include_vector: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class CollectionConfig:
+    """Collection creation config (reference: pkg/types/types.go CollectionConfig)."""
+
+    name: str
+    metric: DistanceMetric = DistanceMetric.COSINE
+    hnsw: HNSWParams = dataclasses.field(default_factory=HNSWParams)
+    # TPU extension: dtype used for the device-resident vector matrix.
+    # "float32" preserves reference-exact distances; "bfloat16" doubles
+    # MXU throughput and halves HBM traffic at a small recall cost.
+    device_dtype: str = "float32"
+
+    def validate(self) -> None:
+        from scintirete_tpu.errors import ScintireteError, ErrorCode
+
+        if not self.name:
+            raise ScintireteError(
+                ErrorCode.INVALID_PARAMETER, "collection name must not be empty"
+            )
+        if self.metric == DistanceMetric.UNSPECIFIED:
+            raise ScintireteError(
+                ErrorCode.INVALID_PARAMETER, "distance metric must be specified"
+            )
+        if self.device_dtype not in ("float32", "bfloat16"):
+            raise ScintireteError(
+                ErrorCode.INVALID_PARAMETER,
+                f"unsupported device_dtype {self.device_dtype!r}",
+            )
+        self.hnsw.validate()
+
+
+@dataclasses.dataclass
+class Vector:
+    """A stored vector: server-assigned uint64 id, elements, JSON-able metadata.
+
+    Reference: pkg/types/types.go Vector. IDs are assigned by the collection's
+    auto-increment counter at insert time (reference: collection.go:113-116).
+    """
+
+    id: int
+    elements: Sequence[float]
+    metadata: Optional[dict[str, Any]] = None
+
+
+@dataclasses.dataclass
+class SearchResult:
+    """One search hit (reference: proto SearchResultItem)."""
+
+    id: int
+    distance: float
+    metadata: Optional[dict[str, Any]] = None
+    vector: Optional[list[float]] = None
+
+
+@dataclasses.dataclass
+class CollectionInfo:
+    """Collection statistics (reference: pkg/types/types.go CollectionInfo)."""
+
+    name: str
+    dimension: int
+    vector_count: int
+    deleted_count: int
+    memory_bytes: int
+    metric: DistanceMetric
+    hnsw: HNSWParams
+
+
+@dataclasses.dataclass
+class DatabaseInfo:
+    name: str
+    collection_count: int
+    created_at: float
+    last_access: float
