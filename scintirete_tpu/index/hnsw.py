@@ -1,0 +1,308 @@
+"""HNSWIndex: the public index type (ids in, results out).
+
+Capability parity with the reference's `core.HNSWIndex` interface
+(reference: internal/core/interfaces.go:114-134 — Build/Insert/Delete/Search/
+Get/Size/MemoryUsage/GetParameters/Statistics/SetEfSearch/Export/Import).
+
+Search executes on the TPU via the batched device kernels (device.py) once
+the collection is large enough to pay for a dispatch; tiny collections and
+the test oracle use the sequential host path. Mutations always go through
+the host store; the device mirror re-syncs lazily (version keyed).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from typing import Any, Optional, Sequence
+
+import numpy as np
+
+from scintirete_tpu.errors import ErrorCode, ScintireteError
+from scintirete_tpu.index import host_algo
+from scintirete_tpu.index.store import GraphStore, LayerStore
+from scintirete_tpu.types import DistanceMetric, HNSWParams, SearchParams
+
+
+@dataclasses.dataclass
+class GraphStats:
+    nodes: int
+    connections: int
+    avg_degree: float
+    max_layer: int
+    memory_bytes: int
+
+
+class HNSWIndex:
+    """Thread-safe HNSW index keyed by uint64 vector IDs."""
+
+    # below this many live vectors, searches stay on host (dispatch overhead
+    # dominates); above it, batched device search takes over.
+    DEVICE_SEARCH_MIN_SIZE = 0  # set by engine/config; 0 = always device-eligible
+
+    def __init__(
+        self,
+        dim: int,
+        params: HNSWParams | None = None,
+        metric: DistanceMetric = DistanceMetric.COSINE,
+        device_dtype: str = "float32",
+        use_device: bool = True,
+    ):
+        params = params or HNSWParams()
+        params.validate()
+        self.store = GraphStore(dim, params, metric)
+        self.id_to_slot: dict[int, int] = {}
+        self.slot_to_id: np.ndarray = np.zeros(self.store.cap, np.uint64)
+        self.device_dtype = device_dtype
+        self.use_device = use_device
+        self._device = None  # lazy DeviceIndex
+        self._lock = threading.RLock()
+
+    # ----- properties -----
+
+    @property
+    def dim(self) -> int:
+        return self.store.dim
+
+    @property
+    def params(self) -> HNSWParams:
+        return self.store.params
+
+    @property
+    def metric(self) -> DistanceMetric:
+        return self.store.metric
+
+    def size(self) -> int:
+        with self._lock:
+            return self.store.live
+
+    def memory_bytes(self) -> int:
+        with self._lock:
+            return self.store.memory_bytes() + 8 * len(self.id_to_slot)
+
+    def set_ef_search(self, ef: int) -> None:
+        """Mutate the default ef (reference: hnsw.go:449-453)."""
+        with self._lock:
+            p = self.store.params
+            self.store.params = dataclasses.replace(p, ef_search=ef)
+
+    def stats(self) -> GraphStats:
+        with self._lock:
+            conns = self.store.connection_count()
+            n = max(self.store.live, 1)
+            return GraphStats(
+                nodes=self.store.live,
+                connections=conns,
+                avg_degree=conns / n,
+                max_layer=self.store.max_layer,
+                memory_bytes=self.memory_bytes(),
+            )
+
+    # ----- mutation -----
+
+    def insert(self, vector_id: int, elements: Sequence[float]) -> None:
+        with self._lock:
+            if vector_id in self.id_to_slot:
+                raise ScintireteError(
+                    ErrorCode.INVALID_PARAMETER,
+                    f"vector with ID {vector_id} already exists",
+                )
+            vec = np.asarray(elements, np.float32)
+            if vec.ndim != 1 or vec.shape[0] != self.store.dim:
+                from scintirete_tpu.errors import dimension_mismatch
+
+                raise dimension_mismatch(self.store.dim, int(vec.shape[-1]))
+            slot = host_algo.insert(self.store, vec)
+            self._register_slot(vector_id, slot)
+
+    def bulk_insert(self, ids: Sequence[int], vectors: np.ndarray) -> None:
+        """Chunked bulk build (device-assisted path plugs in here)."""
+        from scintirete_tpu.index import bulk
+
+        with self._lock:
+            for vid in ids:
+                if int(vid) in self.id_to_slot:
+                    raise ScintireteError(
+                        ErrorCode.INVALID_PARAMETER,
+                        f"vector with ID {vid} already exists",
+                    )
+            vectors = np.asarray(vectors, np.float32)
+            if vectors.ndim != 2 or vectors.shape[1] != self.store.dim:
+                from scintirete_tpu.errors import dimension_mismatch
+
+                raise dimension_mismatch(self.store.dim, int(vectors.shape[-1]))
+            slots = bulk.bulk_insert(self.store, vectors)
+            for vid, slot in zip(ids, slots):
+                self._register_slot(int(vid), int(slot))
+
+    def _register_slot(self, vector_id: int, slot: int) -> None:
+        self.id_to_slot[vector_id] = slot
+        if self.slot_to_id.shape[0] < self.store.cap:
+            new = np.zeros(self.store.cap, np.uint64)
+            new[: self.slot_to_id.shape[0]] = self.slot_to_id
+            self.slot_to_id = new
+        self.slot_to_id[slot] = vector_id
+
+    def delete(self, vector_id: int) -> None:
+        with self._lock:
+            slot = self.id_to_slot.get(vector_id)
+            if slot is None:
+                raise ScintireteError(
+                    ErrorCode.VECTOR_NOT_FOUND, f"vector not found: {vector_id}"
+                )
+            host_algo.delete(self.store, slot)
+            # keep id mapping so Get on a deleted id reports not-found
+            # (mirrors reference tombstone visibility)
+
+    def contains(self, vector_id: int) -> bool:
+        with self._lock:
+            slot = self.id_to_slot.get(vector_id)
+            return slot is not None and not self.store.deleted[slot]
+
+    def get_vector(self, vector_id: int) -> np.ndarray:
+        with self._lock:
+            slot = self.id_to_slot.get(vector_id)
+            if slot is None or self.store.deleted[slot]:
+                raise ScintireteError(
+                    ErrorCode.VECTOR_NOT_FOUND, f"vector not found: {vector_id}"
+                )
+            return self.store.vectors[slot].copy()
+
+    # ----- search -----
+
+    def search(
+        self, query: Sequence[float], params: SearchParams
+    ) -> list[tuple[int, float]]:
+        """Single query -> [(id, distance)] ascending."""
+        return self.search_batch(
+            np.asarray(query, np.float32)[None, :], params
+        )[0]
+
+    def search_batch(
+        self, queries: np.ndarray, params: SearchParams
+    ) -> list[list[tuple[int, float]]]:
+        """Batched queries [B, dim] -> per-query [(id, distance)] ascending."""
+        queries = np.asarray(queries, np.float32)
+        if queries.ndim != 2 or queries.shape[1] != self.store.dim:
+            from scintirete_tpu.errors import dimension_mismatch
+
+            raise dimension_mismatch(self.store.dim, int(queries.shape[-1]))
+        with self._lock:
+            if self.store.live == 0:
+                return [[] for _ in range(queries.shape[0])]
+            if self.use_device and self.store.live >= self.DEVICE_SEARCH_MIN_SIZE:
+                slots_b, dists_b = self._device_search(queries, params)
+            else:
+                slots_b, dists_b = self._host_search(queries, params)
+            out = []
+            for slots, dists in zip(slots_b, dists_b):
+                valid = slots >= 0
+                out.append(
+                    [
+                        (int(self.slot_to_id[s]), float(d))
+                        for s, d in zip(slots[valid], dists[valid])
+                    ]
+                )
+            return out
+
+    def _host_search(self, queries, params):
+        slots_b, dists_b = [], []
+        k = params.top_k
+        for q in queries:
+            slots, dists = host_algo.search(self.store, q, k, params.ef_search)
+            pad = k - slots.shape[0]
+            if pad > 0:
+                slots = np.concatenate([slots, np.full(pad, -1, np.int64)])
+                dists = np.concatenate([dists, np.full(pad, np.inf, np.float32)])
+            slots_b.append(slots)
+            dists_b.append(dists)
+        return np.stack(slots_b), np.stack(dists_b)
+
+    def _device_search(self, queries, params):
+        from scintirete_tpu.index.device import DeviceIndex
+
+        if self._device is None:
+            self._device = DeviceIndex(dtype=self.device_dtype)
+        ef = params.ef_search if params.ef_search else self.store.params.ef_search
+        ef = max(ef, params.top_k)
+        return self._device.search(self.store, queries, params.top_k, ef)
+
+    # ----- graph state export/import (reference: hnsw.go:703-804) -----
+
+    def export_graph_state(self) -> dict[str, Any]:
+        """Snapshot of the full graph; restoring it needs no rebuild."""
+        with self._lock:
+            s = self.store
+            n = s.count
+            return {
+                "dim": s.dim,
+                "metric": int(s.metric),
+                "params": dataclasses.asdict(s.params),
+                "count": n,
+                "live": s.live,
+                "entry_slot": s.entry_slot,
+                "max_layer": s.max_layer,
+                "vectors": s.vectors[:n].copy(),
+                "levels": s.levels[:n].copy(),
+                "deleted": s.deleted[:n].copy(),
+                "neighbors0": s.neighbors0[:n].copy(),
+                "layers": [
+                    {
+                        "count": ls.count,
+                        "node_slot": ls.node_slot[: ls.count].copy(),
+                        "nbrs": ls.nbrs[: ls.count].copy(),
+                    }
+                    for ls in s.layers
+                ],
+                "slot_to_id": self.slot_to_id[:n].copy(),
+            }
+
+    @classmethod
+    def import_graph_state(
+        cls,
+        state: dict[str, Any],
+        device_dtype: str = "float32",
+        use_device: bool = True,
+    ) -> "HNSWIndex":
+        params = HNSWParams(**state["params"])
+        idx = cls(
+            dim=state["dim"],
+            params=params,
+            metric=DistanceMetric(state["metric"]),
+            device_dtype=device_dtype,
+            use_device=use_device,
+        )
+        s = idx.store
+        n = int(state["count"])
+        while s.cap < max(n, 1):
+            s._grow()
+        s.count = n
+        s.live = int(state["live"])
+        s.entry_slot = int(state["entry_slot"])
+        s.max_layer = int(state["max_layer"])
+        s.vectors[:n] = state["vectors"]
+        s.levels[:n] = state["levels"]
+        s.deleted[:n] = state["deleted"]
+        s.neighbors0[:n] = state["neighbors0"]
+        s.layers = []
+        for ldata in state["layers"]:
+            ls = LayerStore(s.m, s.cap)
+            cnt = int(ldata["count"])
+            while ls.cap < max(cnt, 1):
+                ls.cap *= 2
+            ls.node_slot = np.full(ls.cap, -1, np.int32)
+            ls.nbrs = np.full((ls.cap, s.m), -1, np.int32)
+            ls.node_slot[:cnt] = ldata["node_slot"]
+            ls.nbrs[:cnt] = ldata["nbrs"]
+            ls.count = cnt
+            rows = np.arange(cnt, dtype=np.int32)
+            ls.row_of[ldata["node_slot"][:cnt]] = rows
+            s.layers.append(ls)
+        slot_to_id = np.asarray(state["slot_to_id"], np.uint64)
+        idx.slot_to_id = np.zeros(s.cap, np.uint64)
+        idx.slot_to_id[:n] = slot_to_id
+        for slot in range(n):
+            if s.levels[slot] >= 0:
+                idx.id_to_slot[int(slot_to_id[slot])] = slot
+        s.version += 1
+        return idx

@@ -1,0 +1,184 @@
+"""Flat-array HNSW graph storage.
+
+The reference keeps `nodes map[uint64]*HNSWNode` with ragged per-node
+`Connections [][]uint64` (reference: hnsw.go:17-26, :107-125). Here the graph
+is a struct-of-arrays laid out for TPU consumption:
+
+  layer 0 (every node):
+    vectors    f32[cap, dim]     single copy of all vector data
+    levels     i32[cap]          node's top layer; -1 = empty slot
+    deleted    bool[cap]         tombstones (reference: soft delete)
+    neighbors0 i32[cap, 2M]      adjacency, node-slot indices, -1 = empty
+                                 (layer-0 degree is 2M, reference hnsw.go:228-231)
+
+  layer l >= 1 (only nodes with level >= l, ~cap/2^l of them):
+    node_slot  i32[cap_l]        layer row -> node slot
+    nbrs       i32[cap_l, M]     adjacency, node-slot indices, -1 = empty
+    row_of     i32[cap]          node slot -> layer row, -1 if absent
+
+Slots are internal; uint64 vector IDs map to slots one level up (HNSWIndex).
+Capacities double on growth (power-of-two static shapes for jit).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from scintirete_tpu.types import HNSWParams, DistanceMetric
+
+_MIN_CAP = 256
+_MIN_LAYER_CAP = 64
+
+
+def _grow_to(arr: np.ndarray, cap: int, fill) -> np.ndarray:
+    new = np.full((cap,) + arr.shape[1:], fill, dtype=arr.dtype)
+    new[: arr.shape[0]] = arr
+    return new
+
+
+class LayerStore:
+    """Compact adjacency for one upper layer (l >= 1)."""
+
+    def __init__(self, m: int, node_cap: int, cap: int = _MIN_LAYER_CAP):
+        self.m = m
+        self.cap = cap
+        self.count = 0
+        self.node_slot = np.full(cap, -1, np.int32)
+        self.nbrs = np.full((cap, m), -1, np.int32)
+        self.row_of = np.full(node_cap, -1, np.int32)
+
+    def add(self, node_slot: int) -> int:
+        if self.count == self.cap:
+            self.cap *= 2
+            self.node_slot = _grow_to(self.node_slot, self.cap, -1)
+            self.nbrs = _grow_to(self.nbrs, self.cap, -1)
+        row = self.count
+        self.node_slot[row] = node_slot
+        self.row_of[node_slot] = row
+        self.count += 1
+        return row
+
+    def grow_node_cap(self, node_cap: int) -> None:
+        self.row_of = _grow_to(self.row_of, node_cap, -1)
+
+
+class GraphStore:
+    """Host-resident flat-array graph; the single source of truth for
+    structure. Device copies are synced from it (see device.py)."""
+
+    def __init__(
+        self,
+        dim: int,
+        params: HNSWParams,
+        metric: DistanceMetric,
+        cap: int = _MIN_CAP,
+    ):
+        self.dim = dim
+        self.params = params
+        self.metric = DistanceMetric(metric)
+        self.m = params.m
+        self.m0 = params.m * 2
+        self.max_layers = params.max_layers
+
+        self.cap = cap
+        self.count = 0  # slots handed out (includes tombstones)
+        self.live = 0  # live (non-deleted) nodes
+        self.vectors = np.zeros((cap, dim), np.float32)
+        self.levels = np.full(cap, -1, np.int32)
+        self.deleted = np.zeros(cap, np.bool_)
+        self.neighbors0 = np.full((cap, self.m0), -1, np.int32)
+        self.layers: list[LayerStore] = []  # index 0 -> layer 1
+
+        self.entry_slot = -1
+        self.max_layer = -1
+        # monotonically bumped on every mutation; device sync is keyed off it
+        self.version = 0
+        rng_seed = params.resolved_seed()
+        self.rng = np.random.default_rng(rng_seed)
+        self.seed = rng_seed
+
+    # ----- capacity management -----
+
+    def _grow(self) -> None:
+        self.cap *= 2
+        self.vectors = _grow_to(self.vectors, self.cap, 0.0)
+        self.levels = _grow_to(self.levels, self.cap, -1)
+        self.deleted = _grow_to(self.deleted, self.cap, False)
+        self.neighbors0 = _grow_to(self.neighbors0, self.cap, -1)
+        for layer in self.layers:
+            layer.grow_node_cap(self.cap)
+
+    def alloc_slot(self, vector: np.ndarray, level: int) -> int:
+        if self.count == self.cap:
+            self._grow()
+        slot = self.count
+        self.count += 1
+        self.live += 1
+        self.vectors[slot] = vector
+        self.levels[slot] = level
+        while len(self.layers) < level:
+            self.layers.append(LayerStore(self.m, self.cap))
+        for l in range(1, level + 1):
+            self.layers[l - 1].add(slot)
+        self.version += 1
+        return slot
+
+    # ----- level assignment (reference: hnsw.go:458-469) -----
+
+    def draw_level(self) -> int:
+        # exponential decay, mL = 1/ln 2 -> P(level >= L) = 2^-L
+        u = 1.0 - self.rng.random()  # (0, 1], avoids log(0)
+        level = int(np.floor(-np.log(u) / np.log(2.0)))
+        return min(level, self.max_layers - 1)
+
+    def draw_levels(self, n: int) -> np.ndarray:
+        u = 1.0 - self.rng.random(n)
+        levels = np.floor(-np.log(u) / np.log(2.0)).astype(np.int32)
+        return np.minimum(levels, self.max_layers - 1)
+
+    # ----- adjacency access -----
+
+    def adjacency(self, layer: int) -> tuple[np.ndarray, np.ndarray | None]:
+        """(nbrs_table, row_of). row_of None means rows are node slots (layer 0)."""
+        if layer == 0:
+            return self.neighbors0, None
+        ls = self.layers[layer - 1]
+        return ls.nbrs, ls.row_of
+
+    def get_neighbors(self, slot: int, layer: int) -> np.ndarray:
+        """Live neighbor slot list of `slot` at `layer` (drops -1 padding)."""
+        table, row_of = self.adjacency(layer)
+        row = slot if row_of is None else int(row_of[slot])
+        nbrs = table[row]
+        return nbrs[nbrs >= 0]
+
+    def set_neighbors(self, slot: int, layer: int, nbrs: np.ndarray) -> None:
+        table, row_of = self.adjacency(layer)
+        row = slot if row_of is None else int(row_of[slot])
+        width = table.shape[1]
+        assert len(nbrs) <= width, f"degree overflow at layer {layer}"
+        table[row, : len(nbrs)] = nbrs
+        table[row, len(nbrs):] = -1
+        self.version += 1
+
+    def max_degree(self, layer: int) -> int:
+        return self.m0 if layer == 0 else self.m
+
+    # ----- stats -----
+
+    def memory_bytes(self) -> int:
+        total = (
+            self.vectors.nbytes
+            + self.levels.nbytes
+            + self.deleted.nbytes
+            + self.neighbors0.nbytes
+        )
+        for ls in self.layers:
+            total += ls.node_slot.nbytes + ls.nbrs.nbytes + ls.row_of.nbytes
+        return total
+
+    def connection_count(self) -> int:
+        total = int((self.neighbors0[: self.count] >= 0).sum())
+        for ls in self.layers:
+            total += int((ls.nbrs[: ls.count] >= 0).sum())
+        return total

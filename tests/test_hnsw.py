@@ -1,0 +1,337 @@
+"""HNSW index tests: reference-style structural behavior (SURVEY.md §4 tier
+"Unit — algorithm") plus what the reference lacks: ground-truth recall gates
+against brute force, and host-vs-device search parity."""
+
+import numpy as np
+import pytest
+
+from scintirete_tpu.errors import ErrorCode, ScintireteError
+from scintirete_tpu.index import HNSWIndex
+from scintirete_tpu.index.store import GraphStore
+from scintirete_tpu.index import host_algo
+from scintirete_tpu.ops.distance import distance_np
+from scintirete_tpu.types import DistanceMetric, HNSWParams, SearchParams
+
+PARAMS = HNSWParams(m=8, ef_construction=60, ef_search=40, seed=7)
+
+
+def make_index(metric=DistanceMetric.L2, use_device=False, params=PARAMS, dim=16):
+    return HNSWIndex(dim=dim, params=params, metric=metric, use_device=use_device)
+
+
+def brute_topk(vectors_by_id, q, metric, k):
+    ids = np.array(sorted(vectors_by_id))
+    mat = np.stack([vectors_by_id[i] for i in ids])
+    d = distance_np(q, mat, metric)
+    order = np.argsort(d, kind="stable")[:k]
+    return list(ids[order]), d[order]
+
+
+class TestLifecycle:
+    def test_empty_index_search(self):
+        idx = make_index()
+        assert idx.search(np.zeros(16, np.float32), SearchParams(top_k=5)) == []
+        assert idx.size() == 0
+
+    def test_single_vector(self, rng):
+        idx = make_index()
+        v = rng.standard_normal(16).astype(np.float32)
+        idx.insert(1, v)
+        res = idx.search(v, SearchParams(top_k=3))
+        assert len(res) == 1
+        assert res[0][0] == 1
+        assert res[0][1] < 1e-5
+
+    def test_duplicate_insert_rejected(self, rng):
+        idx = make_index()
+        v = rng.standard_normal(16).astype(np.float32)
+        idx.insert(1, v)
+        with pytest.raises(ScintireteError) as exc:
+            idx.insert(1, v)
+        assert exc.value.code == ErrorCode.INVALID_PARAMETER
+
+    def test_dimension_mismatch(self, rng):
+        idx = make_index()
+        with pytest.raises(ScintireteError) as exc:
+            idx.insert(1, rng.standard_normal(8).astype(np.float32))
+        assert exc.value.code == ErrorCode.DIMENSION_MISMATCH
+
+    def test_self_query_returns_self_first(self, rng):
+        idx = make_index()
+        vecs = rng.standard_normal((50, 16)).astype(np.float32)
+        for i, v in enumerate(vecs):
+            idx.insert(i + 1, v)
+        for i in [0, 10, 49]:
+            res = idx.search(vecs[i], SearchParams(top_k=1))
+            assert res[0][0] == i + 1
+
+    def test_delete_removes_from_results(self, rng):
+        idx = make_index()
+        vecs = rng.standard_normal((30, 16)).astype(np.float32)
+        for i, v in enumerate(vecs):
+            idx.insert(i + 1, v)
+        idx.delete(5)
+        assert idx.size() == 29
+        res = idx.search(vecs[4], SearchParams(top_k=10))
+        assert 5 not in [r[0] for r in res]
+        # delete nonexistent -> error
+        with pytest.raises(ScintireteError) as exc:
+            idx.delete(999)
+        assert exc.value.code == ErrorCode.VECTOR_NOT_FOUND
+        # get on deleted -> not found
+        with pytest.raises(ScintireteError):
+            idx.get_vector(5)
+
+    def test_delete_entrypoint_promotes_new_one(self, rng):
+        idx = make_index()
+        vecs = rng.standard_normal((40, 16)).astype(np.float32)
+        for i, v in enumerate(vecs):
+            idx.insert(i + 1, v)
+        # delete the entrypoint repeatedly; search must keep working
+        for _ in range(10):
+            ep_slot = idx.store.entry_slot
+            ep_id = int(idx.slot_to_id[ep_slot])
+            idx.delete(ep_id)
+            res = idx.search(vecs[0], SearchParams(top_k=3))
+            assert len(res) == 3
+        assert idx.size() == 30
+
+    def test_delete_all_then_insert(self, rng):
+        idx = make_index()
+        vecs = rng.standard_normal((10, 16)).astype(np.float32)
+        for i, v in enumerate(vecs):
+            idx.insert(i + 1, v)
+        for i in range(10):
+            idx.delete(i + 1)
+        assert idx.size() == 0
+        assert idx.search(vecs[0], SearchParams(top_k=3)) == []
+        idx.insert(100, vecs[0])
+        res = idx.search(vecs[0], SearchParams(top_k=1))
+        assert res[0][0] == 100
+
+    def test_ef_search_override_and_set(self, rng):
+        idx = make_index()
+        for i in range(20):
+            idx.insert(i + 1, rng.standard_normal(16).astype(np.float32))
+        idx.set_ef_search(77)
+        assert idx.params.ef_search == 77
+        res = idx.search(
+            rng.standard_normal(16).astype(np.float32),
+            SearchParams(top_k=5, ef_search=10),
+        )
+        assert len(res) == 5
+
+    def test_stats_and_memory(self, rng):
+        idx = make_index()
+        for i in range(25):
+            idx.insert(i + 1, rng.standard_normal(16).astype(np.float32))
+        st = idx.stats()
+        assert st.nodes == 25
+        assert st.connections > 0
+        assert st.memory_bytes > 0
+        assert st.max_layer >= 0
+
+    def test_degree_bounds(self, rng):
+        # layer-0 degree <= 2M, upper layers <= M (reference: hnsw.go:228-231)
+        idx = make_index()
+        s = idx.store
+        for i in range(200):
+            idx.insert(i + 1, rng.standard_normal(16).astype(np.float32))
+        assert ((s.neighbors0[: s.count] >= 0).sum(axis=1) <= s.m0).all()
+        for ls in s.layers:
+            assert ((ls.nbrs[: ls.count] >= 0).sum(axis=1) <= s.m).all()
+
+
+class TestRecall:
+    """Ground-truth recall gates (absent in the reference; required by BASELINE)."""
+
+    @pytest.mark.parametrize(
+        "metric",
+        [DistanceMetric.L2, DistanceMetric.COSINE, DistanceMetric.INNER_PRODUCT],
+    )
+    def test_recall_at_10(self, rng, metric):
+        n, dim, k = 600, 24, 10
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        idx = HNSWIndex(
+            dim=dim,
+            params=HNSWParams(m=12, ef_construction=100, ef_search=80, seed=3),
+            metric=metric,
+            use_device=False,
+        )
+        by_id = {}
+        for i, v in enumerate(vecs):
+            idx.insert(i + 1, v)
+            by_id[i + 1] = v
+        queries = rng.standard_normal((20, dim)).astype(np.float32)
+        hits = total = 0
+        for q in queries:
+            want, _ = brute_topk(by_id, q, metric, k)
+            got = [r[0] for r in idx.search(q, SearchParams(top_k=k))]
+            hits += len(set(want) & set(got))
+            total += k
+        recall = hits / total
+        assert recall >= 0.9, f"recall@10 too low for {metric}: {recall}"
+
+    def test_recall_with_deletions(self, rng):
+        n, dim, k = 400, 16, 10
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        idx = make_index()
+        by_id = {}
+        for i, v in enumerate(vecs):
+            idx.insert(i + 1, v)
+            by_id[i + 1] = v
+        for i in range(0, n, 3):  # delete a third
+            idx.delete(i + 1)
+            del by_id[i + 1]
+        queries = rng.standard_normal((10, dim)).astype(np.float32)
+        hits = total = 0
+        for q in queries:
+            want, _ = brute_topk(by_id, q, DistanceMetric.L2, k)
+            got = [r[0] for r in idx.search(q, SearchParams(top_k=k))]
+            assert all(g in by_id for g in got), "returned a deleted id"
+            hits += len(set(want) & set(got))
+            total += k
+        assert hits / total >= 0.85
+
+
+class TestDeviceParity:
+    """Batched device search vs the sequential host oracle."""
+
+    @pytest.mark.parametrize(
+        "metric",
+        [DistanceMetric.L2, DistanceMetric.COSINE, DistanceMetric.INNER_PRODUCT],
+    )
+    def test_device_matches_host_recall(self, rng, metric):
+        n, dim, k = 500, 16, 10
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        idx = HNSWIndex(
+            dim=dim,
+            params=HNSWParams(m=8, ef_construction=80, ef_search=60, seed=11),
+            metric=metric,
+            use_device=True,
+        )
+        for i, v in enumerate(vecs):
+            idx.insert(i + 1, v)
+        queries = rng.standard_normal((16, dim)).astype(np.float32)
+
+        dev = idx.search_batch(queries, SearchParams(top_k=k))
+        idx.use_device = False
+        host = idx.search_batch(queries, SearchParams(top_k=k))
+
+        overlap = total = 0
+        for dres, hres in zip(dev, host):
+            d_ids = {r[0] for r in dres}
+            h_ids = {r[0] for r in hres}
+            overlap += len(d_ids & h_ids)
+            total += k
+            # distances must be exact for shared ids
+            d_map = dict(dres)
+            for hid, hdist in hres:
+                if hid in d_map:
+                    assert abs(d_map[hid] - hdist) < 1e-3
+        assert overlap / total >= 0.9, f"device/host divergence: {overlap/total}"
+
+    def test_device_excludes_deleted(self, rng):
+        n, dim = 200, 16
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        idx = make_index(use_device=True)
+        for i, v in enumerate(vecs):
+            idx.insert(i + 1, v)
+        deleted = set(range(1, n + 1, 4))
+        for vid in deleted:
+            idx.delete(vid)
+        res = idx.search_batch(
+            rng.standard_normal((8, dim)).astype(np.float32), SearchParams(top_k=10)
+        )
+        for rlist in res:
+            assert len(rlist) == 10
+            assert not ({r[0] for r in rlist} & deleted)
+
+    def test_device_exact_on_self_queries(self, rng):
+        n, dim = 300, 16
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        idx = make_index(use_device=True)
+        for i, v in enumerate(vecs):
+            idx.insert(i + 1, v)
+        res = idx.search_batch(vecs[:32], SearchParams(top_k=1))
+        ok = sum(1 for i, rlist in enumerate(res) if rlist and rlist[0][0] == i + 1)
+        # the graph itself may miss a couple at this ef; device must match host
+        idx.use_device = False
+        host = idx.search_batch(vecs[:32], SearchParams(top_k=1))
+        host_ok = sum(
+            1 for i, rlist in enumerate(host) if rlist and rlist[0][0] == i + 1
+        )
+        assert ok >= host_ok - 1
+        assert ok >= 28
+
+    def test_mutation_resyncs_device(self, rng):
+        idx = make_index(use_device=True)
+        vecs = rng.standard_normal((50, 16)).astype(np.float32)
+        for i, v in enumerate(vecs):
+            idx.insert(i + 1, v)
+        q = vecs[0][None, :]
+        assert idx.search_batch(q, SearchParams(top_k=1))[0][0][0] == 1
+        idx.delete(1)
+        assert idx.search_batch(q, SearchParams(top_k=1))[0][0][0] != 1
+
+
+class TestGraphState:
+    def test_export_import_roundtrip(self, rng):
+        idx = make_index()
+        vecs = rng.standard_normal((120, 16)).astype(np.float32)
+        for i, v in enumerate(vecs):
+            idx.insert(i + 1, v)
+        idx.delete(7)
+        state = idx.export_graph_state()
+        idx2 = HNSWIndex.import_graph_state(state, use_device=False)
+        assert idx2.size() == idx.size()
+        assert idx2.store.max_layer == idx.store.max_layer
+        q = rng.standard_normal(16).astype(np.float32)
+        r1 = idx.search(q, SearchParams(top_k=10))
+        r2 = idx2.search(q, SearchParams(top_k=10))
+        assert r1 == r2
+        # imported graph stays mutable
+        idx2.insert(1000, rng.standard_normal(16).astype(np.float32))
+        assert idx2.size() == idx.size() + 1
+
+    def test_export_is_deep_copy(self, rng):
+        idx = make_index()
+        for i in range(20):
+            idx.insert(i + 1, rng.standard_normal(16).astype(np.float32))
+        state = idx.export_graph_state()
+        state["vectors"][:] = 0.0
+        assert not np.allclose(idx.store.vectors[:20], 0.0)
+
+    def test_seed_reproducibility(self, rng):
+        vecs = rng.standard_normal((100, 16)).astype(np.float32)
+        runs = []
+        for _ in range(2):
+            idx = HNSWIndex(dim=16, params=HNSWParams(seed=42), use_device=False)
+            for i, v in enumerate(vecs):
+                idx.insert(i + 1, v)
+            runs.append(idx.export_graph_state())
+        np.testing.assert_array_equal(runs[0]["levels"], runs[1]["levels"])
+        np.testing.assert_array_equal(runs[0]["neighbors0"], runs[1]["neighbors0"])
+
+
+class TestBulkInsert:
+    def test_bulk_matches_recall(self, rng):
+        n, dim, k = 500, 16, 10
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        idx = make_index()
+        idx.bulk_insert(list(range(1, n + 1)), vecs)
+        assert idx.size() == n
+        by_id = {i + 1: vecs[i] for i in range(n)}
+        hits = total = 0
+        for q in rng.standard_normal((10, dim)).astype(np.float32):
+            want, _ = brute_topk(by_id, q, DistanceMetric.L2, k)
+            got = [r[0] for r in idx.search(q, SearchParams(top_k=k))]
+            hits += len(set(want) & set(got))
+            total += k
+        assert hits / total >= 0.9
+
+    def test_bulk_duplicate_id_rejected(self, rng):
+        idx = make_index()
+        idx.insert(3, rng.standard_normal(16).astype(np.float32))
+        with pytest.raises(ScintireteError):
+            idx.bulk_insert([2, 3], rng.standard_normal((2, 16)).astype(np.float32))
