@@ -1,0 +1,297 @@
+"""Collection: a named vector set backed by one HNSW index.
+
+Capability parity with the reference's Collection
+(reference: internal/core/database/collection.go:18-412): server-side
+auto-increment ID assignment at insert, dimension validation against the
+first stored vector, soft delete, physical Compact (purge + rebuild), deep
+Get copies, counts and memory stats.
+
+Design improvement over the reference (flagged in its own memory-bank docs):
+vector elements are stored ONCE — in the index's flat array — not duplicated
+in a separate map (reference stores them twice: collection.go:130 +
+hnsw.go:200). Metadata lives host-side keyed by ID.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Any, Optional, Sequence
+
+import numpy as np
+
+from scintirete_tpu.errors import (
+    ErrorCode,
+    ScintireteError,
+    dimension_mismatch,
+)
+from scintirete_tpu.index import HNSWIndex
+from scintirete_tpu.types import (
+    CollectionConfig,
+    CollectionInfo,
+    SearchParams,
+    SearchResult,
+    Vector,
+)
+
+
+class Collection:
+    def __init__(self, config: CollectionConfig, use_device: bool = True):
+        config.validate()
+        self.config = config
+        self.name = config.name
+        self._lock = threading.RLock()
+        self._dim: Optional[int] = None  # fixed by the first inserted vector
+        self._index: Optional[HNSWIndex] = None
+        self._metadata: dict[int, Optional[dict[str, Any]]] = {}
+        self._deleted_count = 0
+        self._next_id = 1  # reference: IDs start at 1; 0 is reserved
+        self._use_device = use_device
+        self.created_at = time.time()
+        self.updated_at = self.created_at
+
+    # ----- helpers -----
+
+    def _ensure_index(self, dim: int) -> HNSWIndex:
+        if self._index is None:
+            self._dim = dim
+            self._index = HNSWIndex(
+                dim=dim,
+                params=self.config.hnsw,
+                metric=self.config.metric,
+                device_dtype=self.config.device_dtype,
+                use_device=self._use_device,
+            )
+        return self._index
+
+    def _check_dim(self, dim: int) -> None:
+        if self._dim is not None and dim != self._dim:
+            raise dimension_mismatch(self._dim, dim)
+
+    # ----- mutation -----
+
+    def insert(
+        self,
+        vectors: Sequence[tuple[Sequence[float], Optional[dict[str, Any]]]],
+    ) -> list[int]:
+        """Insert (elements, metadata) pairs; returns server-assigned IDs
+        (reference: collection.go:71-149 — nextID++ per vector)."""
+        if not vectors:
+            return []
+        with self._lock:
+            mats = [np.asarray(e, np.float32) for e, _ in vectors]
+            for m in mats:
+                if m.ndim != 1:
+                    raise ScintireteError(
+                        ErrorCode.INVALID_PARAMETER, "vector must be 1-D"
+                    )
+            dims = {m.shape[0] for m in mats}
+            if len(dims) != 1:
+                raise ScintireteError(
+                    ErrorCode.DIMENSION_MISMATCH,
+                    f"vectors in one batch have mixed dimensions: {sorted(dims)}",
+                )
+            dim = dims.pop()
+            self._check_dim(dim)
+            index = self._ensure_index(dim)
+
+            ids = [self._next_id + i for i in range(len(mats))]
+            index.bulk_insert(ids, np.stack(mats))
+            self._next_id += len(mats)
+            for vid, (_, meta) in zip(ids, vectors):
+                self._metadata[vid] = dict(meta) if meta else None
+            self.updated_at = time.time()
+            return ids
+
+    def insert_with_ids(
+        self,
+        vectors: Sequence[
+            tuple[int, Sequence[float], Optional[dict[str, Any]]]
+        ],
+    ) -> None:
+        """Replay/restore path: IDs preserved, next-ID high-water restored
+        (reference: collection.go:316-324 updateNextID)."""
+        if not vectors:
+            return
+        with self._lock:
+            ids = [int(vid) for vid, _, _ in vectors]
+            mats = np.stack([np.asarray(e, np.float32) for _, e, _ in vectors])
+            self._check_dim(mats.shape[1])
+            index = self._ensure_index(mats.shape[1])
+            index.bulk_insert(ids, mats)
+            for vid, (_, _, meta) in zip(ids, vectors):
+                self._metadata[vid] = dict(meta) if meta else None
+            self._next_id = max(self._next_id, max(ids) + 1)
+            self.updated_at = time.time()
+
+    def delete(self, ids: Sequence[int]) -> int:
+        """Soft-delete; returns how many were actually deleted
+        (reference: collection.go:152-190 — missing IDs are skipped)."""
+        with self._lock:
+            deleted = 0
+            if self._index is None:
+                return 0
+            for vid in ids:
+                try:
+                    self._index.delete(int(vid))
+                    deleted += 1
+                    self._deleted_count += 1
+                except ScintireteError as exc:
+                    if exc.code != ErrorCode.VECTOR_NOT_FOUND:
+                        raise
+            if deleted:
+                self.updated_at = time.time()
+            return deleted
+
+    def compact(self) -> int:
+        """Physically purge tombstones by rebuilding the index from live
+        vectors (reference: collection.go:283-313). Returns purged count."""
+        with self._lock:
+            if self._index is None:
+                return 0
+            purged = self._deleted_count
+            old = self._index
+            live_ids = [vid for vid in old.id_to_slot if old.contains(vid)]
+            new_index = HNSWIndex(
+                dim=self._dim,
+                params=self.config.hnsw,
+                metric=self.config.metric,
+                device_dtype=self.config.device_dtype,
+                use_device=self._use_device,
+            )
+            if live_ids:
+                mats = np.stack([old.get_vector(vid) for vid in live_ids])
+                new_index.bulk_insert(live_ids, mats)
+            self._index = new_index
+            self._metadata = {
+                vid: meta for vid, meta in self._metadata.items() if vid in set(live_ids)
+            }
+            self._deleted_count = 0
+            self.updated_at = time.time()
+            return purged
+
+    # ----- reads -----
+
+    def search(
+        self, query: Sequence[float], params: SearchParams
+    ) -> list[SearchResult]:
+        return self.search_batch(
+            np.asarray(query, np.float32)[None, :], params
+        )[0]
+
+    def search_batch(
+        self, queries: np.ndarray, params: SearchParams
+    ) -> list[list[SearchResult]]:
+        with self._lock:
+            if self._index is None:
+                return [[] for _ in range(len(queries))]
+            queries = np.asarray(queries, np.float32)
+            if queries.shape[-1] != self._dim:
+                raise dimension_mismatch(self._dim, int(queries.shape[-1]))
+            raw = self._index.search_batch(queries, params)
+            out = []
+            for hits in raw:
+                results = []
+                for vid, dist in hits:
+                    meta = self._metadata.get(vid)
+                    vec = (
+                        self._index.get_vector(vid).tolist()
+                        if params.include_vector
+                        else None
+                    )
+                    results.append(
+                        SearchResult(
+                            id=vid,
+                            distance=dist,
+                            metadata=dict(meta) if meta else None,
+                            vector=vec,
+                        )
+                    )
+                out.append(results)
+            return out
+
+    def get(self, vid: int) -> Vector:
+        """Deep copy fetch (reference: collection.go:207-239)."""
+        with self._lock:
+            if self._index is None:
+                raise ScintireteError(
+                    ErrorCode.VECTOR_NOT_FOUND, f"vector not found: {vid}"
+                )
+            elements = self._index.get_vector(int(vid))  # raises if absent
+            meta = self._metadata.get(int(vid))
+            return Vector(
+                id=int(vid),
+                elements=elements.tolist(),
+                metadata=dict(meta) if meta else None,
+            )
+
+    def get_multiple(self, ids: Sequence[int]) -> list[Vector]:
+        out = []
+        for vid in ids:
+            try:
+                out.append(self.get(vid))
+            except ScintireteError as exc:
+                if exc.code != ErrorCode.VECTOR_NOT_FOUND:
+                    raise
+        return out
+
+    def count(self) -> int:
+        with self._lock:
+            return self._index.size() if self._index else 0
+
+    def info(self) -> CollectionInfo:
+        with self._lock:
+            return CollectionInfo(
+                name=self.name,
+                dimension=self._dim or 0,
+                vector_count=self.count(),
+                deleted_count=self._deleted_count,
+                memory_bytes=self._index.memory_bytes() if self._index else 0,
+                metric=self.config.metric,
+                hnsw=self.config.hnsw,
+            )
+
+    # ----- persistence bridge -----
+
+    def export_state(self) -> dict[str, Any]:
+        with self._lock:
+            import dataclasses as dc
+
+            state: dict[str, Any] = {
+                "config": {
+                    "name": self.config.name,
+                    "metric": int(self.config.metric),
+                    "hnsw": dc.asdict(self.config.hnsw),
+                    "device_dtype": self.config.device_dtype,
+                },
+                "next_id": self._next_id,
+                "deleted_count": self._deleted_count,
+                "metadata": {
+                    str(k): v for k, v in self._metadata.items() if v is not None
+                },
+                "graph": self._index.export_graph_state() if self._index else None,
+            }
+            return state
+
+    @classmethod
+    def from_state(cls, state: dict[str, Any], use_device: bool = True) -> "Collection":
+        from scintirete_tpu.types import DistanceMetric, HNSWParams
+
+        cfg_data = state["config"]
+        config = CollectionConfig(
+            name=cfg_data["name"],
+            metric=DistanceMetric(cfg_data["metric"]),
+            hnsw=HNSWParams(**cfg_data["hnsw"]),
+            device_dtype=cfg_data.get("device_dtype", "float32"),
+        )
+        col = cls(config, use_device=use_device)
+        graph = state.get("graph")
+        if graph is not None:
+            col._index = HNSWIndex.import_graph_state(
+                graph, device_dtype=config.device_dtype, use_device=use_device
+            )
+            col._dim = col._index.dim
+        col._next_id = int(state["next_id"])
+        col._deleted_count = int(state.get("deleted_count", 0))
+        col._metadata = {int(k): v for k, v in state.get("metadata", {}).items()}
+        return col
