@@ -1,0 +1,337 @@
+"""Persistence tests: AOF/RDB unit tiers + engine-integration recovery
+(SURVEY.md §4 tiers "Unit — persistence" and "Integration — persistence↔engine")."""
+
+import os
+import struct
+import time
+
+import numpy as np
+import pytest
+
+from scintirete_tpu.engine import Engine
+from scintirete_tpu.engine.database import make_command, CMD_CREATE_DATABASE
+from scintirete_tpu.errors import ErrorCode, ScintireteError
+from scintirete_tpu.persistence import (
+    AOFLogger,
+    BackupManager,
+    PersistenceManager,
+    RDBManager,
+    SyncStrategy,
+)
+from scintirete_tpu.types import CollectionConfig, DistanceMetric, HNSWParams, SearchParams
+
+CFG = lambda name="c": CollectionConfig(  # noqa: E731
+    name=name,
+    metric=DistanceMetric.L2,
+    hnsw=HNSWParams(m=8, ef_construction=40, ef_search=30, seed=5),
+)
+
+
+def make_manager(tmp_path, engine=None, **kw):
+    engine = engine or Engine(use_device=False)
+    return engine, PersistenceManager(engine, str(tmp_path / "data"), **kw)
+
+
+def populate(engine, rng, n=30):
+    db = engine.create_database("db")
+    col = db.create_collection(CFG())
+    data = rng.standard_normal((n, 8)).astype(np.float32)
+    ids = col.insert([(v, {"i": i}) for i, v in enumerate(data)])
+    return col, data, ids
+
+
+class TestAOF:
+    @pytest.mark.parametrize("strategy", ["always", "everysec", "no"])
+    def test_write_replay_roundtrip(self, tmp_path, strategy):
+        path = str(tmp_path / "a.aof")
+        log = AOFLogger(path, strategy)
+        cmds = [
+            make_command(CMD_CREATE_DATABASE, f"db{i}", timestamp=float(i))
+            for i in range(5)
+        ]
+        for c in cmds:
+            log.write_command(c)
+        log.flush()
+        seen = []
+        log.replay(seen.append)
+        assert [c["database"] for c in seen] == [f"db{i}" for i in range(5)]
+        assert seen[0]["timestamp"] == 0.0
+        log.close()
+
+    def test_replay_survives_reopen(self, tmp_path):
+        path = str(tmp_path / "a.aof")
+        log = AOFLogger(path, "always")
+        log.write_command(make_command(CMD_CREATE_DATABASE, "db"))
+        log.close()
+        log2 = AOFLogger(path, "always")
+        seen = []
+        log2.replay(seen.append)
+        assert len(seen) == 1
+        log2.close()
+
+    def test_truncate(self, tmp_path):
+        log = AOFLogger(str(tmp_path / "a.aof"), "always")
+        log.write_command(make_command(CMD_CREATE_DATABASE, "db"))
+        assert log.size_bytes() > 0
+        log.truncate()
+        assert log.size_bytes() == 0
+        seen = []
+        log.replay(seen.append)
+        assert seen == []
+        log.close()
+
+    def test_rewrite_atomic_replaces(self, tmp_path):
+        log = AOFLogger(str(tmp_path / "a.aof"), "always")
+        for i in range(10):
+            log.write_command(make_command(CMD_CREATE_DATABASE, f"x{i}"))
+        log.rewrite([make_command(CMD_CREATE_DATABASE, "compacted")])
+        seen = []
+        log.replay(seen.append)
+        assert [c["database"] for c in seen] == ["compacted"]
+        # log still appendable after rewrite
+        log.write_command(make_command(CMD_CREATE_DATABASE, "after"))
+        log.flush()
+        seen = []
+        log.replay(seen.append)
+        assert len(seen) == 2
+        log.close()
+
+    def test_corrupted_length_rejected(self, tmp_path):
+        path = str(tmp_path / "a.aof")
+        with open(path, "wb") as fh:
+            fh.write(struct.pack("<I", 2**31))  # absurd length
+            fh.write(b"xx")
+        log = AOFLogger(path, "no")
+        with pytest.raises(ScintireteError) as exc:
+            log.replay(lambda c: None)
+        assert exc.value.code == ErrorCode.CORRUPTED_DATA
+        log.close()
+
+    def test_truncated_body_rejected(self, tmp_path):
+        path = str(tmp_path / "a.aof")
+        log = AOFLogger(path, "always")
+        log.write_command(make_command(CMD_CREATE_DATABASE, "db"))
+        log.close()
+        data = open(path, "rb").read()
+        with open(path, "wb") as fh:
+            fh.write(data[:-3])  # chop the record body
+        log2 = AOFLogger(path, "no")
+        with pytest.raises(ScintireteError):
+            log2.replay(lambda c: None)
+        log2.close()
+
+    def test_metadata_preserved(self, tmp_path):
+        # the reference drops AOF metadata (aof.go:530-535); we must not
+        log = AOFLogger(str(tmp_path / "a.aof"), "always")
+        cmd = make_command(
+            "INSERT_VECTORS",
+            "db",
+            "c",
+            {"vectors": [{"id": 1, "elements": [1.0, 2.0], "metadata": {"k": "v"}}]},
+        )
+        log.write_command(cmd)
+        seen = []
+        log.replay(seen.append)
+        assert seen[0]["args"]["vectors"][0]["metadata"] == {"k": "v"}
+        log.close()
+
+    def test_everysec_background_flush(self, tmp_path):
+        log = AOFLogger(str(tmp_path / "a.aof"), "everysec")
+        log.write_command(make_command(CMD_CREATE_DATABASE, "db"))
+        time.sleep(1.5)
+        assert os.path.getsize(str(tmp_path / "a.aof")) > 0
+        log.close()
+
+
+class TestRDB:
+    def test_save_load_roundtrip(self, tmp_path, rng):
+        engine = Engine(use_device=False)
+        col, data, ids = populate(engine, rng)
+        rdb = RDBManager(str(tmp_path / "v.rdb"))
+        rdb.save(engine.export_state())
+
+        state = rdb.load()
+        engine2 = Engine(use_device=False)
+        engine2.restore_state(state)
+        col2 = engine2.get_database("db").get_collection("c")
+        assert col2.count() == 30
+        r1 = col.search(data[3], SearchParams(top_k=5))
+        r2 = col2.search(data[3], SearchParams(top_k=5))
+        assert [x.id for x in r1] == [x.id for x in r2]
+
+    def test_missing_file_is_none(self, tmp_path):
+        assert RDBManager(str(tmp_path / "none.rdb")).load() is None
+
+    def test_bad_magic_rejected(self, tmp_path):
+        path = tmp_path / "v.rdb"
+        path.write_bytes(b"garbage-not-an-rdb")
+        with pytest.raises(ScintireteError) as exc:
+            RDBManager(str(path)).load()
+        assert exc.value.code == ErrorCode.CORRUPTED_DATA
+
+    def test_validation_rejects_inconsistent(self, tmp_path, rng):
+        engine = Engine(use_device=False)
+        populate(engine, rng, n=5)
+        state = engine.export_state()
+        graph = state["databases"]["db"]["collections"]["c"]["graph"]
+        graph["count"] = 999  # inconsistent with array lengths
+        with pytest.raises(ScintireteError):
+            RDBManager.validate(state)
+
+    def test_atomicity_temp_cleanup(self, tmp_path, rng):
+        engine = Engine(use_device=False)
+        populate(engine, rng, n=3)
+        rdb = RDBManager(str(tmp_path / "v.rdb"))
+        rdb.save(engine.export_state())
+        assert not os.path.exists(str(tmp_path / "v.rdb.tmp"))
+
+    def test_backups(self, tmp_path, rng):
+        engine = Engine(use_device=False)
+        populate(engine, rng, n=3)
+        rdb = RDBManager(str(tmp_path / "v.rdb"))
+        rdb.save(engine.export_state())
+        bm = BackupManager(rdb)
+        b1 = bm.create_backup()
+        b2 = bm.create_backup()
+        assert bm.list_backups() == sorted([b1, b2])
+        os.remove(rdb.path)
+        bm.restore_backup(b1)
+        assert rdb.load() is not None
+
+
+class TestManagerIntegration:
+    def test_end_to_end_recovery_aof_only(self, tmp_path, rng):
+        engine, pm = make_manager(tmp_path)
+        db = engine.create_database("db")
+        pm.log_create_database("db")
+        col = db.create_collection(CFG())
+        pm.log_create_collection(
+            "db", "c", {"metric": 1, "hnsw": {"m": 8, "seed": 5}}
+        )
+        data = rng.standard_normal((10, 8)).astype(np.float32)
+        ids = col.insert([(v, {"i": i}) for i, v in enumerate(data)])
+        pm.log_insert_vectors(
+            "db",
+            "c",
+            [
+                {"id": vid, "elements": data[i].tolist(), "metadata": {"i": i}}
+                for i, vid in enumerate(ids)
+            ],
+        )
+        col.delete(ids[:2])
+        pm.log_delete_vectors("db", "c", ids[:2])
+        pm.stop()
+
+        engine2, pm2 = make_manager(tmp_path)
+        result = pm2.recover()
+        assert result["rdb_loaded"] is False
+        assert result["aof_commands"] == 4
+        col2 = engine2.get_database("db").get_collection("c")
+        assert col2.count() == 8
+        assert col2.get(ids[5]).metadata == {"i": 5}
+        pm2.stop()
+
+    def test_snapshot_truncates_aof_and_combined_recovery(self, tmp_path, rng):
+        engine, pm = make_manager(tmp_path)
+        db = engine.create_database("db")
+        pm.log_create_database("db")
+        col = db.create_collection(CFG())
+        pm.log_create_collection("db", "c", {"metric": 1, "hnsw": {"m": 8, "seed": 5}})
+        data = rng.standard_normal((20, 8)).astype(np.float32)
+        ids = col.insert([(v, None) for v in data])
+        pm.log_insert_vectors(
+            "db",
+            "c",
+            [{"id": vid, "elements": data[i].tolist()} for i, vid in enumerate(ids)],
+        )
+        pm.save_snapshot()
+        assert pm.aof.size_bytes() == 0  # snapshot truncated the AOF
+
+        # post-snapshot tail
+        tail = rng.standard_normal((3, 8)).astype(np.float32)
+        tail_ids = col.insert([(v, None) for v in tail])
+        pm.log_insert_vectors(
+            "db",
+            "c",
+            [{"id": vid, "elements": tail[i].tolist()} for i, vid in enumerate(tail_ids)],
+        )
+        pm.stop()
+
+        engine2, pm2 = make_manager(tmp_path)
+        result = pm2.recover()
+        assert result["rdb_loaded"] is True
+        assert result["aof_commands"] == 1
+        col2 = engine2.get_database("db").get_collection("c")
+        assert col2.count() == 23
+        # search parity after combined recovery
+        r1 = col.search(data[0], SearchParams(top_k=5))
+        r2 = col2.search(data[0], SearchParams(top_k=5))
+        assert [x.id for x in r1] == [x.id for x in r2]
+        pm2.stop()
+
+    def test_smart_snapshot_gate(self, tmp_path, rng):
+        engine, pm = make_manager(
+            tmp_path, snapshot_min_commands=5, snapshot_max_age_seconds=9999
+        )
+        engine.create_database("db")
+        pm.log_create_database("db")
+        assert pm.maybe_snapshot() is False  # 1 < 5 commands, young
+        for i in range(5):
+            pm.log_create_database(f"x{i}")  # log only; gate counts commands
+        assert pm.maybe_snapshot() is True
+        assert pm.maybe_snapshot() is False  # no longer dirty
+        pm.stop()
+
+    def test_smart_rewrite_gate(self, tmp_path, rng):
+        engine, pm = make_manager(tmp_path, aof_rewrite_size_bytes=200)
+        engine.create_database("db")
+        for i in range(50):
+            pm.log_create_database(f"noise{i}") if not engine.has_database(
+                f"noise{i}"
+            ) else None
+        pm.aof.flush()
+        assert pm.aof.size_bytes() > 200
+        assert pm.maybe_rewrite_aof() is True
+        # rewritten log replays to current state
+        engine2, pm2 = make_manager(tmp_path)
+        pm2.aof.close()
+        pm2.aof = pm.aof  # same file
+        seen = []
+        pm.aof.replay(seen.append)
+        assert any(c["database"] == "db" for c in seen)
+        pm.stop()
+
+    def test_background_tasks_fire(self, tmp_path, rng):
+        engine, pm = make_manager(
+            tmp_path,
+            rdb_interval_seconds=0.2,
+            snapshot_min_commands=1,
+            snapshot_max_age_seconds=0.0,
+            aof_rewrite_check_seconds=60,
+        )
+        engine.create_database("db")
+        pm.log_create_database("db")
+        pm.start_background_tasks()
+        deadline = time.time() + 5
+        while time.time() < deadline and pm.stats()["snapshots"] == 0:
+            time.sleep(0.05)
+        pm.stop()
+        assert pm.stats()["snapshots"] >= 1
+        assert pm.rdb.exists()
+
+    def test_bgsave_async(self, tmp_path, rng):
+        engine, pm = make_manager(tmp_path)
+        populate(engine, rng, n=5)
+        t = pm.background_save()
+        t.join(timeout=10)
+        assert pm.rdb.exists()
+        pm.stop()
+
+    def test_stats(self, tmp_path):
+        engine, pm = make_manager(tmp_path)
+        engine.create_database("db")
+        pm.log_create_database("db")
+        st = pm.stats()
+        assert st["aof_writes"] == 1
+        assert st["dirty_commands"] == 1
+        pm.stop()
