@@ -1,0 +1,131 @@
+"""Server binary: scintirete-tpu-server.
+
+Capability parity with the reference server main
+(reference: cmd/scintirete-server/main.go:38-171): flags -config,
+-log-level, -profile; composition of engine + persistence + embedding +
+auth + observability; recovery on start; gRPC + HTTP + metrics listeners;
+SIGINT/SIGTERM graceful shutdown with a final fsync.
+
+TPU twist: -profile starts the JAX profiler trace server (the reference's
+pprof analogue, SURVEY.md §5 "Tracing / profiling").
+"""
+
+from __future__ import annotations
+
+import argparse
+import signal
+import sys
+import threading
+
+from scintirete_tpu.config import load_config
+from scintirete_tpu.observability.audit import AuditLogger
+from scintirete_tpu.observability.logger import StructuredLogger
+from scintirete_tpu.observability.metrics import MetricsRegistry, MetricsServer
+from scintirete_tpu.observability.monitor import SystemMonitor
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="scintirete-tpu-server",
+        description="TPU-native vector database server (Scintirete capability parity)",
+    )
+    parser.add_argument("-config", "--config", default=None, help="TOML config path")
+    parser.add_argument(
+        "-log-level", "--log-level", dest="log_level", default=None,
+        help="override log level (debug/info/warn/error)",
+    )
+    parser.add_argument(
+        "-profile", "--profile", type=int, default=0, metavar="PORT",
+        help="start the JAX profiler trace server on PORT (0 = off)",
+    )
+    parser.add_argument(
+        "--no-device", action="store_true",
+        help="host-only mode (no TPU dispatch); for development",
+    )
+    args = parser.parse_args(argv)
+
+    cfg = load_config(args.config)
+    if args.log_level:
+        cfg.log.level = args.log_level
+    logger = StructuredLogger.from_config(cfg.log)
+
+    if args.profile:
+        import jax
+
+        jax.profiler.start_server(args.profile)
+        logger.info("jax profiler trace server started", port=args.profile)
+
+    import os
+
+    audit = AuditLogger(
+        path=os.path.join(cfg.persistence.data_dir, "audit.log"),
+        enabled=cfg.log.enable_audit_log,
+    )
+    metrics = MetricsRegistry()
+
+    from scintirete_tpu.server.grpc_server import GrpcServer
+    from scintirete_tpu.server.http_server import HttpGateway
+    from scintirete_tpu.server.service import ScintireteService
+
+    service = ScintireteService(
+        cfg,
+        logger=logger,
+        audit=audit,
+        metrics=metrics,
+        use_device=not args.no_device,
+    )
+    recovery = service.start()
+    logger.info("recovery", **recovery)
+
+    grpc_server = GrpcServer(service, cfg.server.grpc_host, cfg.server.grpc_port)
+    grpc_server.start()
+    logger.info("gRPC listening", address=f"{cfg.server.grpc_host}:{grpc_server.port}")
+
+    http_gateway = HttpGateway(service, cfg.server.http_host, cfg.server.http_port)
+    http_gateway.start()
+    logger.info(
+        "HTTP listening", address=f"{cfg.server.http_host}:{http_gateway.port}"
+    )
+
+    metrics_server = None
+    if cfg.observability.metrics_enabled:
+        metrics_server = MetricsServer(
+            metrics,
+            cfg.server.http_host,
+            cfg.observability.metrics_port,
+            cfg.observability.metrics_path,
+        )
+        metrics_server.start()
+        logger.info("metrics listening", port=metrics_server.port)
+
+    monitor = SystemMonitor(
+        logger,
+        interval_seconds=cfg.monitoring.interval,
+        cpu_threshold=cfg.monitoring.cpu_threshold,
+        memory_threshold_bytes=cfg.monitoring.memory_threshold * 1024 * 1024,
+        enabled=cfg.monitoring.enabled,
+    )
+    monitor.start()
+
+    stop_event = threading.Event()
+
+    def handle_signal(signum, frame):
+        logger.info("shutdown signal received", signal=signum)
+        stop_event.set()
+
+    signal.signal(signal.SIGINT, handle_signal)
+    signal.signal(signal.SIGTERM, handle_signal)
+
+    stop_event.wait()
+    monitor.stop()
+    grpc_server.stop()
+    http_gateway.stop()
+    if metrics_server:
+        metrics_server.stop()
+    service.stop()  # persistence stop -> final fsync
+    logger.info("server stopped")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
