@@ -1,0 +1,386 @@
+"""Sharded indexes over a device mesh.
+
+The reference is strictly single-process (SURVEY.md §2: no distributed
+execution of any kind); this module is the TPU-native scaling extension
+(SURVEY.md §5 last bullet, §7 step 8): the vector matrix and graph arrays
+are sharded across devices with `jax.sharding.NamedSharding`, queries are
+data-parallel over a second mesh axis, and per-shard top-k results are
+combined with XLA collectives over ICI (`all_gather` inside `shard_map`) —
+no hand-written transport.
+
+Mesh layout: ("dp", "shard")
+  - "shard": partitions the collection (each device holds N/S vectors, or a
+    full independent HNSW sub-graph for 1/S of the collection),
+  - "dp": replicates the index and partitions the query batch (pure data
+    parallelism for throughput).
+
+Search = local top-k on each shard -> all_gather over "shard" -> merge.
+The merged result is exact for the flat index, and equals the union-best of
+per-shard HNSW searches (standard sharded-ANN semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from scintirete_tpu.index.device import _search_kernel
+from scintirete_tpu.index.hnsw import HNSWIndex
+from scintirete_tpu.ops.distance import pairwise_distance, preprocess_norms
+from scintirete_tpu.types import DistanceMetric, HNSWParams, SearchParams
+
+
+def make_default_mesh(
+    n_devices: Optional[int] = None, dp: int = 1
+) -> Mesh:
+    """A ("dp", "shard") mesh over the first n_devices devices."""
+    n = n_devices or len(jax.devices())
+    assert n % dp == 0, f"dp={dp} must divide device count {n}"
+    return jax.make_mesh((dp, n // dp), ("dp", "shard"))
+
+
+# ---------------------------------------------------------------------------
+# Exact sharded flat scan
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "k", "mesh"))
+def _sharded_flat_topk(
+    queries,  # [B, D] sharded P("dp", None)
+    vectors,  # [N, D] sharded P("shard", None)
+    sq_norms,  # [N]   sharded P("shard")
+    valid,  # [N] bool sharded P("shard")
+    metric: int,
+    k: int,
+    mesh: Mesh,
+):
+    """Exact top-k over the sharded base. Returns ([B,k] dists, [B,k] global
+    row indices)."""
+    n_local = vectors.shape[0] // mesh.shape["shard"]
+
+    def local(q, v, n, ok):
+        # q: [B/dp, D] local queries; v/n/ok: local shard rows
+        d = pairwise_distance(q, v, metric, n)
+        d = jnp.where(ok[None, :], d, jnp.inf)
+        kk = min(k, v.shape[0])
+        top_d, top_i = jax.lax.top_k(-d, kk)
+        top_d = -top_d
+        if kk < k:
+            top_d = jnp.pad(top_d, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
+            top_i = jnp.pad(top_i, ((0, 0), (0, k - kk)), constant_values=0)
+        shard_id = jax.lax.axis_index("shard")
+        gidx = top_i.astype(jnp.int64) + shard_id.astype(jnp.int64) * n_local
+        # combine across shards: gather everyone's candidates, merge locally
+        all_d = jax.lax.all_gather(top_d, "shard", axis=1, tiled=True)  # [B, S*k]
+        all_i = jax.lax.all_gather(gidx, "shard", axis=1, tiled=True)
+        best_d, sel = jax.lax.top_k(-all_d, k)
+        return -best_d, jnp.take_along_axis(all_i, sel, axis=1)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("dp", None), P("shard", None), P("shard"), P("shard")),
+        out_specs=(P("dp", None), P("dp", None)),
+        check_vma=False,  # outputs are replicated over "shard" after all_gather
+    )(queries, vectors, sq_norms, valid)
+
+
+class ShardedFlatIndex:
+    """Exact (brute-force) search over a collection sharded across devices.
+
+    The production use: rerank baseline and small-to-medium collections
+    where exact search on-chip already beats graph traversal.
+    """
+
+    def __init__(self, dim: int, metric: DistanceMetric, mesh: Optional[Mesh] = None,
+                 dtype: str = "float32"):
+        self.dim = dim
+        self.metric = DistanceMetric(metric)
+        self.mesh = mesh or make_default_mesh()
+        self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        self._n = 0
+        self._vectors = None  # device, padded to multiple of shards
+        self._sq_norms = None
+        self._valid = None
+        self._ids: list[int] = []
+
+    @property
+    def shards(self) -> int:
+        return self.mesh.shape["shard"]
+
+    def build(self, ids: list[int], vectors: np.ndarray) -> None:
+        vectors = np.asarray(vectors, np.float32)
+        n = vectors.shape[0]
+        pad = (-n) % (self.shards * 8)
+        padded = np.concatenate(
+            [vectors, np.zeros((pad, self.dim), np.float32)], axis=0
+        )
+        valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+        vec_sharding = NamedSharding(self.mesh, P("shard", None))
+        row_sharding = NamedSharding(self.mesh, P("shard"))
+        self._vectors = jax.device_put(padded.astype(self.dtype), vec_sharding)
+        self._sq_norms = jax.device_put(
+            np.sum(padded * padded, axis=1), row_sharding
+        )
+        self._valid = jax.device_put(valid, row_sharding)
+        self._ids = list(ids)
+        self._n = n
+
+    def search(
+        self, queries: np.ndarray, k: int
+    ) -> list[list[tuple[int, float]]]:
+        queries = np.asarray(queries, np.float32)
+        B = queries.shape[0]
+        dp = self.mesh.shape["dp"]
+        pad_b = (-B) % dp
+        if pad_b:
+            queries = np.concatenate(
+                [queries, np.zeros((pad_b, self.dim), np.float32)]
+            )
+        q_sharded = jax.device_put(
+            queries, NamedSharding(self.mesh, P("dp", None))
+        )
+        d, i = _sharded_flat_topk(
+            q_sharded, self._vectors, self._sq_norms, self._valid,
+            metric=int(self.metric), k=k, mesh=self.mesh,
+        )
+        d, i = np.asarray(d)[:B], np.asarray(i)[:B]
+        if self.metric == DistanceMetric.L2:
+            pass  # pairwise_distance already returns sqrt'ed L2
+        out = []
+        for b in range(B):
+            row = []
+            for dist, gi in zip(d[b], i[b]):
+                if np.isinf(dist):
+                    continue
+                row.append((self._ids[int(gi)], float(dist)))
+            out.append(row)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Sharded HNSW: independent sub-graphs per shard, fused search + merge
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric", "ef", "k", "max_steps", "mesh")
+)
+def _fused_sharded_search(
+    q, vectors, sq_norms, deleted, neighbors0, upper_nbrs, upper_rows, entry,
+    metric: int, ef: int, k: int, max_steps: int, mesh: Mesh,
+):
+    """One program: per-shard HNSW beam search + all_gather merge over ICI."""
+
+    def local(q, vectors, sq_norms, deleted, neighbors0, *rest):
+        n_up = len(rest) // 2
+        u_nbrs = tuple(r[0] for r in rest[:n_up])
+        u_rows = tuple(r[0] for r in rest[n_up:-1])
+        entry_local = rest[-1][0]
+        d, s, _ = _search_kernel(
+            q, vectors[0], sq_norms[0], deleted[0], neighbors0[0],
+            u_nbrs, u_rows, entry_local,
+            metric=metric, ef=ef, k=k, max_steps=max_steps,
+        )
+        shard_id = jax.lax.axis_index("shard")
+        # globalize slots: (shard, slot) -> shard * cap + slot
+        gs = jnp.where(
+            s >= 0, s + shard_id.astype(jnp.int64) * vectors.shape[1], -1
+        )
+        all_d = jax.lax.all_gather(d, "shard", axis=1, tiled=True)
+        all_s = jax.lax.all_gather(gs, "shard", axis=1, tiled=True)
+        best_d, sel = jax.lax.top_k(-all_d, k)
+        return -best_d, jnp.take_along_axis(all_s, sel, axis=1)
+
+    base_specs = (
+        P(None, None),  # queries replicated
+        P("shard", None, None),
+        P("shard", None),
+        P("shard", None),
+        P("shard", None, None),
+    )
+    rest_specs = (
+        tuple(P("shard", None, None) for _ in upper_nbrs)
+        + tuple(P("shard", None) for _ in upper_rows)
+        + (P("shard"),)
+    )
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=base_specs + rest_specs,
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,  # outputs are replicated over "shard" after all_gather
+    )(q, vectors, sq_norms, deleted, neighbors0, *upper_nbrs, *upper_rows, entry)
+
+
+class ShardedHNSWIndex:
+    """S independent HNSW sub-indexes, one per mesh shard; queries run
+    against every shard in one fused program and results merge by distance.
+
+    Inserts round-robin across shards (keeps shards balanced); each shard's
+    graph stays small enough that per-shard search cost drops ~S-fold while
+    the union of per-shard top-k preserves recall (it can only see MORE of
+    the true neighbors than a single graph of the same parameters).
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        params: Optional[HNSWParams] = None,
+        metric: DistanceMetric = DistanceMetric.COSINE,
+        mesh: Optional[Mesh] = None,
+    ):
+        self.mesh = mesh or make_default_mesh()
+        self.S = self.mesh.shape["shard"]
+        params = params or HNSWParams()
+        self.params = params
+        self.metric = DistanceMetric(metric)
+        self.dim = dim
+        seed = params.resolved_seed()
+        self.subs = [
+            HNSWIndex(
+                dim,
+                HNSWParams(
+                    m=params.m,
+                    ef_construction=params.ef_construction,
+                    ef_search=params.ef_search,
+                    max_layers=params.max_layers,
+                    seed=seed + s,
+                ),
+                metric,
+                use_device=False,
+            )
+            for s in range(self.S)
+        ]
+        self._insert_cursor = 0
+        self._synced_versions = [-1] * self.S
+        self._stacked = None
+
+    def size(self) -> int:
+        return sum(sub.size() for sub in self.subs)
+
+    def bulk_insert(self, ids: list[int], vectors: np.ndarray) -> None:
+        vectors = np.asarray(vectors, np.float32)
+        for s in range(self.S):
+            sel = [
+                i for i in range(len(ids)) if (self._insert_cursor + i) % self.S == s
+            ]
+            if sel:
+                self.subs[s].bulk_insert([ids[i] for i in sel], vectors[sel])
+        self._insert_cursor = (self._insert_cursor + len(ids)) % self.S
+
+    def delete(self, vector_id: int) -> None:
+        from scintirete_tpu.errors import ErrorCode, ScintireteError
+
+        for sub in self.subs:
+            if vector_id in sub.id_to_slot:
+                sub.delete(vector_id)
+                return
+        raise ScintireteError(
+            ErrorCode.VECTOR_NOT_FOUND, f"vector not found: {vector_id}"
+        )
+
+    # ----- fused device search -----
+
+    def _sync(self) -> None:
+        versions = [sub.store.version for sub in self.subs]
+        if self._stacked is not None and versions == self._synced_versions:
+            return
+        stores = [sub.store for sub in self.subs]
+        cap = max(s.cap for s in stores)
+        max_upper = max((s.max_layer for s in stores), default=0)
+        max_upper = max(max_upper, 1)
+        layer_caps = [
+            max(
+                (
+                    s.layers[l].cap if l < len(s.layers) else 1
+                    for s in stores
+                ),
+            )
+            for l in range(max_upper)
+        ]
+
+        def pad2(a, rows, fill):
+            out = np.full((rows,) + a.shape[1:], fill, a.dtype)
+            out[: a.shape[0]] = a
+            return out
+
+        vecs, norms, deleted, nbrs0 = [], [], [], []
+        upper_nbrs = [[] for _ in range(max_upper)]
+        upper_rows = [[] for _ in range(max_upper)]
+        entries = []
+        for s in stores:
+            vecs.append(pad2(s.vectors, cap, 0.0))
+            norms.append(
+                pad2(np.sum(s.vectors.astype(np.float32) ** 2, axis=1), cap, 0.0)
+            )
+            deleted.append(pad2(s.deleted, cap, True))
+            nbrs0.append(pad2(s.neighbors0, cap, -1))
+            entries.append(max(s.entry_slot, 0))
+            for l in range(max_upper):
+                if l < len(s.layers) and l < s.max_layer:
+                    ls = s.layers[l]
+                    upper_nbrs[l].append(pad2(ls.nbrs, layer_caps[l], -1))
+                    upper_rows[l].append(pad2(ls.row_of, cap, -1))
+                else:
+                    upper_nbrs[l].append(
+                        np.full((layer_caps[l], self.params.m), -1, np.int32)
+                    )
+                    upper_rows[l].append(np.full(cap, -1, np.int32))
+
+        def put(stack, spec):
+            return jax.device_put(np.stack(stack), NamedSharding(self.mesh, spec))
+
+        self._stacked = {
+            "vectors": put(vecs, P("shard", None, None)),
+            "sq_norms": put(norms, P("shard", None)),
+            "deleted": put(deleted, P("shard", None)),
+            "neighbors0": put(nbrs0, P("shard", None, None)),
+            "upper_nbrs": tuple(
+                put(upper_nbrs[l], P("shard", None, None))
+                for l in reversed(range(max_upper))
+            ),
+            "upper_rows": tuple(
+                put(upper_rows[l], P("shard", None))
+                for l in reversed(range(max_upper))
+            ),
+            "entry": put([np.int32(e) for e in entries], P("shard")),
+        }
+        self._synced_versions = versions
+
+    def search_batch(
+        self, queries: np.ndarray, params: SearchParams
+    ) -> list[list[tuple[int, float]]]:
+        if self.size() == 0:
+            return [[] for _ in range(len(queries))]
+        self._sync()
+        queries = np.asarray(queries, np.float32)
+        B = queries.shape[0]
+        k = params.top_k
+        ef = max(params.ef_search or self.params.ef_search, k)
+        a = self._stacked
+
+        d, gs = _fused_sharded_search(
+            jnp.asarray(queries),
+            a["vectors"], a["sq_norms"], a["deleted"], a["neighbors0"],
+            a["upper_nbrs"], a["upper_rows"], a["entry"],
+            metric=int(self.metric), ef=ef, k=k, max_steps=4 * ef + 32,
+            mesh=self.mesh,
+        )
+        d, gs = np.asarray(d), np.asarray(gs)
+        cap = a["vectors"].shape[1]
+        out = []
+        for b in range(B):
+            row = []
+            for dist, g in zip(d[b], gs[b]):
+                if g < 0 or np.isinf(dist):
+                    continue
+                shard, slot = divmod(int(g), cap)
+                row.append((int(self.subs[shard].slot_to_id[slot]), float(dist)))
+            out.append(row)
+        return out
