@@ -1,28 +1,156 @@
-"""Bulk index construction.
+"""Bulk index construction: device-assisted chunked inserts.
 
-Strategy (SURVEY.md §7 "hard parts"): HNSW insertion is inherently
-sequential, so the bulk path inserts in chunks — within a chunk every new
-vector descends against the *frozen* pre-chunk graph (batched on device once
-the graph is synced), then link updates are applied host-side in chunk order,
-including links between chunk members. For small graphs, plain sequential
-host insertion is used (it is also the semantics oracle).
+HNSW insertion is inherently sequential (each insert must see the links of
+prior inserts — SURVEY.md §7 "hard parts"). The TPU-native compromise:
+
+1. allocate slots + draw levels for a CHUNK of new vectors,
+2. run the batched insert-descent kernel against the frozen pre-chunk graph
+   (one device program returns, per vector and per layer, the efc best
+   candidates),
+3. apply link updates host-side IN CHUNK ORDER, merging in exact distances
+   to earlier chunk members (so intra-chunk connectivity matches what
+   sequential insertion would have discovered),
+4. the dirty rows scatter to the device mirror before the next chunk's
+   descent.
+
+Quality: candidates are the union of the frozen-graph beam results and ALL
+earlier chunk members at the right layers (a superset of what the reference's
+sequential search would see); selection stays reference top-M-by-distance.
+Recall gates in tests/test_hnsw.py hold the builder to the sequential oracle.
+
+Small graphs bootstrap through plain sequential host insertion (also the
+semantics oracle and the replay path).
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 import numpy as np
 
 from scintirete_tpu.index import host_algo
 from scintirete_tpu.index.store import GraphStore
+from scintirete_tpu.ops.distance import distance_np
+
+# below this size, sequential host insertion is faster than device dispatch
+BOOTSTRAP_SIZE = 256
+DEFAULT_CHUNK = 512
 
 
-def bulk_insert(store: GraphStore, vectors: np.ndarray) -> list[int]:
-    """Insert a batch of vectors; returns their slots in order.
+def bulk_insert(
+    store: GraphStore,
+    vectors: np.ndarray,
+    device=None,  # DeviceIndex; None = host-only
+    chunk_size: int = DEFAULT_CHUNK,
+) -> list[int]:
+    """Insert a batch of vectors; returns their slots in order."""
+    vectors = np.asarray(vectors, np.float32)
+    n = len(vectors)
+    levels = store.draw_levels(n)
+    # one up-front capacity reservation: device shapes stay fixed for the
+    # whole build -> exactly one kernel compile + one full upload
+    store.reserve(levels)
+    slots: list[int] = []
 
-    Currently sequential host insertion; the device-assisted chunked builder
-    replaces the inner loop (same link-application code) — see build plan.
-    """
-    levels = store.draw_levels(len(vectors))
-    return [
-        host_algo.insert(store, v, int(level)) for v, level in zip(vectors, levels)
-    ]
+    # bootstrap: sequential host inserts until the graph is worth a dispatch
+    boot = n if device is None else max(0, min(n, BOOTSTRAP_SIZE - store.live))
+    for i in range(boot):
+        slots.append(host_algo.insert(store, vectors[i], int(levels[i])))
+
+    pos = boot
+    while pos < n:
+        # early chunks stay small relative to the graph to bound staleness
+        step = min(chunk_size, max(128, store.live))
+        chunk = vectors[pos : pos + step]
+        chunk_levels = levels[pos : pos + step]
+        slots.extend(_insert_chunk(store, device, chunk, chunk_levels, chunk_size))
+        pos += len(chunk)
+    return slots
+
+
+def _insert_chunk(
+    store: GraphStore,
+    device,
+    chunk: np.ndarray,  # [B, D]
+    levels: np.ndarray,  # [B]
+    pad_to: int,
+) -> list[int]:
+    B = len(chunk)
+    frozen_max = store.max_layer  # descent sees the pre-chunk graph
+    efc = max(store.params.ef_construction, store.m0)
+
+    # 1. allocate slots (new slots are unreachable until linked, so syncing
+    #    them before the descent is safe)
+    new_slots = np.array(
+        [store.alloc_slot(chunk[i], int(levels[i])) for i in range(B)],
+        dtype=np.int64,
+    )
+
+    # 2. frozen-graph descent on device (queries padded to a stable batch)
+    q = chunk
+    lv = levels.astype(np.int32)
+    if B < pad_to:
+        q = np.concatenate([q, np.repeat(chunk[:1], pad_to - B, axis=0)])
+        lv = np.concatenate([lv, np.zeros(pad_to - B, np.int32)])
+    cand_slots, cand_dists = device.build_descent(store, q, lv, efc)
+    # cand_slots: [L+1, B, efc], layer-l candidates as node slots
+
+    # 3. link application in chunk order: native C++ engine when available
+    intra = distance_np(chunk, chunk, store.metric)  # [B, B] exact distances
+    cand_slots = cand_slots[:, :B]
+    cand_dists = cand_dists[:, :B]
+    from scintirete_tpu.native.build import apply_chunk_native
+
+    dirty_pairs = apply_chunk_native(
+        store, cand_slots, cand_dists, new_slots,
+        levels.astype(np.int32), intra, frozen_max,
+    )
+    if dirty_pairs is not None:
+        store.mark_rows(dirty_pairs)
+        return [int(s) for s in new_slots]
+
+    # pure-Python fallback (also the semantics oracle)
+    # chunk members eligible per layer, in insertion order
+    order_by_layer: dict[int, list[int]] = {}
+    max_lvl = int(levels.max(initial=0))
+    for lc in range(0, max_lvl + 1):
+        order_by_layer[lc] = [j for j in range(B) if levels[j] >= lc]
+
+    for i in range(B):
+        level = int(levels[i])
+        slot = int(new_slots[i])
+        for lc in range(level, -1, -1):
+            # frozen-graph candidates (when the layer existed at descent time)
+            if lc <= frozen_max and lc < cand_slots.shape[0]:
+                cs = cand_slots[lc, i].astype(np.int64)
+                cd = cand_dists[lc, i]
+                keep = (cs >= 0) & (cs != slot)
+                cs, cd = cs[keep], cd[keep]
+                if lc >= 1 and cs.size:
+                    # beams can return seed nodes that are not members of a
+                    # sparse layer; linking to them would break the layer
+                    # invariant (reference keeps explicit per-layer lists)
+                    member = store.layers[lc - 1].row_of[cs] >= 0
+                    cs, cd = cs[member], cd[member]
+            else:
+                cs = np.empty(0, np.int64)
+                cd = np.empty(0, np.float32)
+            # earlier chunk members present at this layer
+            members = [j for j in order_by_layer.get(lc, ()) if j < i]
+            if members:
+                mem = np.asarray(members)
+                cs = np.concatenate([cs, new_slots[mem]])
+                cd = np.concatenate([cd, intra[i, mem]])
+            if cs.size == 0:
+                continue
+            order = np.argsort(cd, kind="stable")[:efc]
+            cs = cs[order]
+            max_conn = store.max_degree(lc)
+            selected = cs[:max_conn].astype(np.int32)
+            store.set_neighbors(slot, lc, selected)
+            for nbr in selected:
+                host_algo._add_link(store, int(nbr), slot, lc)
+        if level > store.max_layer or store.entry_slot < 0:
+            store.max_layer = max(store.max_layer, level)
+            store.entry_slot = slot
+    return [int(s) for s in new_slots]

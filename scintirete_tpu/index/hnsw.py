@@ -131,7 +131,8 @@ class HNSWIndex:
                 from scintirete_tpu.errors import dimension_mismatch
 
                 raise dimension_mismatch(self.store.dim, int(vectors.shape[-1]))
-            slots = bulk.bulk_insert(self.store, vectors)
+            device = self._get_device() if self.use_device else None
+            slots = bulk.bulk_insert(self.store, vectors, device=device)
             for vid, slot in zip(ids, slots):
                 self._register_slot(int(vid), int(slot))
 
@@ -218,14 +219,17 @@ class HNSWIndex:
             dists_b.append(dists)
         return np.stack(slots_b), np.stack(dists_b)
 
-    def _device_search(self, queries, params):
+    def _get_device(self):
         from scintirete_tpu.index.device import DeviceIndex
 
         if self._device is None:
             self._device = DeviceIndex(dtype=self.device_dtype)
+        return self._device
+
+    def _device_search(self, queries, params):
         ef = params.ef_search if params.ef_search else self.store.params.ef_search
         ef = max(ef, params.top_k)
-        return self._device.search(self.store, queries, params.top_k, ef)
+        return self._get_device().search(self.store, queries, params.top_k, ef)
 
     # ----- graph state export/import (reference: hnsw.go:703-804) -----
 

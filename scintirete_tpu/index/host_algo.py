@@ -179,9 +179,8 @@ def delete(store: GraphStore, slot: int) -> bool:
     """Tombstone a slot. Returns False if it was already deleted."""
     if store.deleted[slot]:
         return False
-    store.deleted[slot] = True
+    store.mark_deleted(slot)
     store.live -= 1
-    store.version += 1
     if store.entry_slot == slot:
         _find_new_entrypoint(store)
     return True

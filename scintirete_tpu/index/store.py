@@ -96,10 +96,42 @@ class GraphStore:
         rng_seed = params.resolved_seed()
         self.rng = np.random.default_rng(rng_seed)
         self.seed = rng_seed
+        # dirty-row tracking for incremental device sync (single consumer);
+        # None = tracking invalid, next sync must be a full upload
+        self._dirty: dict | None = None
+
+    # ----- dirty tracking -----
+
+    def _reset_dirty(self) -> None:
+        self._dirty = {
+            "vectors": set(),
+            "neighbors0": set(),
+            "deleted": set(),
+            "layers": {},  # layer number -> set of layer rows
+            "layer_rows": {},  # layer number -> set of node slots (row_of)
+        }
+
+    def invalidate_dirty(self) -> None:
+        self._dirty = None
+
+    def take_dirty(self) -> dict | None:
+        """Consume accumulated dirty rows; None forces a full upload."""
+        d = self._dirty
+        self._reset_dirty()
+        return d
+
+    def _mark(self, key: str, row: int) -> None:
+        if self._dirty is not None:
+            self._dirty[key].add(row)
+
+    def _mark_layer(self, key: str, layer: int, row: int) -> None:
+        if self._dirty is not None:
+            self._dirty[key].setdefault(layer, set()).add(row)
 
     # ----- capacity management -----
 
     def _grow(self) -> None:
+        self.invalidate_dirty()
         self.cap *= 2
         self.vectors = _grow_to(self.vectors, self.cap, 0.0)
         self.levels = _grow_to(self.levels, self.cap, -1)
@@ -107,6 +139,40 @@ class GraphStore:
         self.neighbors0 = _grow_to(self.neighbors0, self.cap, -1)
         for layer in self.layers:
             layer.grow_node_cap(self.cap)
+
+    def reserve(self, levels: np.ndarray) -> None:
+        """Pre-size all arrays for a known batch of level draws so that NO
+        capacity changes (hence no device-shape changes, no kernel recompiles,
+        no full re-uploads) happen during a bulk build."""
+        n = len(levels)
+        target = self.cap
+        while target < self.count + n:
+            target *= 2
+        if target != self.cap:
+            self.invalidate_dirty()
+            self.cap = target
+            self.vectors = _grow_to(self.vectors, target, 0.0)
+            self.levels = _grow_to(self.levels, target, -1)
+            self.deleted = _grow_to(self.deleted, target, False)
+            self.neighbors0 = _grow_to(self.neighbors0, target, -1)
+            for layer in self.layers:
+                layer.grow_node_cap(target)
+        max_level = int(np.max(levels, initial=0))
+        while len(self.layers) < max_level:
+            self.layers.append(LayerStore(self.m, self.cap))
+        incoming = np.bincount(
+            np.minimum(levels, self.max_layers), minlength=self.max_layers + 1
+        )
+        for l, ls in enumerate(self.layers, start=1):
+            expected = ls.count + int(incoming[l:].sum())
+            if expected > ls.cap:
+                self.invalidate_dirty()
+                new_cap = ls.cap
+                while new_cap < expected:
+                    new_cap *= 2
+                ls.cap = new_cap
+                ls.node_slot = _grow_to(ls.node_slot, new_cap, -1)
+                ls.nbrs = _grow_to(ls.nbrs, new_cap, -1)
 
     def alloc_slot(self, vector: np.ndarray, level: int) -> int:
         if self.count == self.cap:
@@ -116,10 +182,15 @@ class GraphStore:
         self.live += 1
         self.vectors[slot] = vector
         self.levels[slot] = level
+        self._mark("vectors", slot)
         while len(self.layers) < level:
             self.layers.append(LayerStore(self.m, self.cap))
         for l in range(1, level + 1):
-            self.layers[l - 1].add(slot)
+            ls = self.layers[l - 1]
+            if ls.count == ls.cap:
+                self.invalidate_dirty()  # layer table grows; full upload next
+            ls.add(slot)
+            self._mark_layer("layer_rows", l, slot)
         self.version += 1
         return slot
 
@@ -149,16 +220,37 @@ class GraphStore:
         """Live neighbor slot list of `slot` at `layer` (drops -1 padding)."""
         table, row_of = self.adjacency(layer)
         row = slot if row_of is None else int(row_of[slot])
+        assert row >= 0, f"slot {slot} is not a member of layer {layer}"
         nbrs = table[row]
         return nbrs[nbrs >= 0]
 
     def set_neighbors(self, slot: int, layer: int, nbrs: np.ndarray) -> None:
         table, row_of = self.adjacency(layer)
         row = slot if row_of is None else int(row_of[slot])
+        assert row >= 0, f"slot {slot} is not a member of layer {layer}"
         width = table.shape[1]
         assert len(nbrs) <= width, f"degree overflow at layer {layer}"
         table[row, : len(nbrs)] = nbrs
         table[row, len(nbrs):] = -1
+        if layer == 0:
+            self._mark("neighbors0", row)
+        else:
+            self._mark_layer("layers", layer, row)
+        self.version += 1
+
+    def mark_rows(self, pairs) -> None:
+        """Record dirty (layer, row) pairs mutated outside set_neighbors
+        (the native link-application engine writes adjacency in place)."""
+        for layer, row in pairs:
+            if layer == 0:
+                self._mark("neighbors0", row)
+            else:
+                self._mark_layer("layers", layer, row)
+        self.version += 1
+
+    def mark_deleted(self, slot: int) -> None:
+        self.deleted[slot] = True
+        self._mark("deleted", slot)
         self.version += 1
 
     def max_degree(self, layer: int) -> int:

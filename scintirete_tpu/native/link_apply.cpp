@@ -1,0 +1,223 @@
+// Native link-application engine for the chunked HNSW builder.
+//
+// The device kernel returns, per new vector and per layer, the efc best
+// candidates against the frozen graph (see index/device.py). This module
+// applies the links host-side in chunk order — candidate merge with earlier
+// chunk members, top-M selection, bidirectional linking, and degree pruning
+// (reference semantics: internal/core/algorithm/hnsw.go:224-249 insert
+// linking, :560-583 simple selectNeighbors, :586-614 pruneConnections).
+//
+// Compiled with g++ -O3 and loaded through ctypes (build.py); the Python
+// implementation in index/bulk.py stays as the fallback and oracle.
+//
+// Layout contract (matches index/store.py):
+//   vectors     f32[cap, dim]        row-major
+//   neighbors0  i32[cap, m0]         -1 padded
+//   layer l>=1: nbrs i32[cap_l, m]   -1 padded, entries are node slots
+//               row_of i32[cap]      node slot -> layer row, -1 absent
+//   deleted     u8[cap]
+//
+// Dirty rows touched by this call are appended to dirty_out as
+// (layer, row) pairs: layer 0 rows index neighbors0, layer l rows index
+// that layer's nbrs table. The caller feeds them to the device mirror.
+
+#include <cstdint>
+#include <cmath>
+#include <cstring>
+#include <algorithm>
+#include <vector>
+
+namespace {
+
+enum Metric { L2 = 1, COSINE = 2, INNER_PRODUCT = 3 };
+
+struct Ctx {
+    const float* vectors;
+    int64_t cap;
+    int64_t dim;
+    int32_t* neighbors0;
+    int32_t m0;
+    int32_t n_layers;        // number of allocated upper layers
+    int32_t** layer_nbrs;    // per layer: [cap_l, m]
+    int32_t** layer_rowof;   // per layer: [cap]
+    int32_t m;
+    const uint8_t* deleted;
+    int32_t metric;
+    int32_t* dirty_out;      // [max_dirty, 2] (layer, row)
+    int64_t max_dirty;
+    int64_t n_dirty;
+    bool dirty_overflow;
+};
+
+inline float distance(const Ctx& c, int64_t a, int64_t b) {
+    const float* va = c.vectors + a * c.dim;
+    const float* vb = c.vectors + b * c.dim;
+    double dot = 0.0, na = 0.0, nb = 0.0;
+    for (int64_t i = 0; i < c.dim; ++i) {
+        const double x = va[i], y = vb[i];
+        dot += x * y;
+        na += x * x;
+        nb += y * y;
+    }
+    switch (c.metric) {
+        case L2: {
+            double d2 = na + nb - 2.0 * dot;
+            return static_cast<float>(std::sqrt(d2 > 0.0 ? d2 : 0.0));
+        }
+        case COSINE: {
+            if (na <= 1e-30 || nb <= 1e-30) return 1.0f;
+            double cosv = dot / (std::sqrt(na) * std::sqrt(nb));
+            cosv = std::min(1.0, std::max(-1.0, cosv));
+            return static_cast<float>(1.0 - cosv);
+        }
+        default:
+            return static_cast<float>(-dot);
+    }
+}
+
+inline void mark_dirty(Ctx& c, int32_t layer, int32_t row) {
+    if (c.n_dirty >= c.max_dirty) {
+        c.dirty_overflow = true;
+        return;
+    }
+    c.dirty_out[2 * c.n_dirty] = layer;
+    c.dirty_out[2 * c.n_dirty + 1] = row;
+    ++c.n_dirty;
+}
+
+// adjacency row pointer for (slot, layer); nullptr if not a member
+inline int32_t* adj_row(Ctx& c, int64_t slot, int32_t layer, int32_t* row_idx) {
+    if (layer == 0) {
+        *row_idx = static_cast<int32_t>(slot);
+        return c.neighbors0 + slot * c.m0;
+    }
+    const int32_t row = c.layer_rowof[layer - 1][slot];
+    *row_idx = row;
+    if (row < 0) return nullptr;
+    return c.layer_nbrs[layer - 1] + static_cast<int64_t>(row) * c.m;
+}
+
+// append `to` to `from`'s list at `layer`; prune to max degree by distance,
+// dropping deleted entries (reference: pruneConnections)
+void add_link(Ctx& c, int64_t from, int64_t to, int32_t layer) {
+    int32_t row;
+    int32_t* nbrs = adj_row(c, from, layer, &row);
+    if (nbrs == nullptr) return;  // not a member of this layer; skip
+    const int32_t max_conn = (layer == 0) ? c.m0 : c.m;
+
+    int32_t count = 0;
+    while (count < max_conn && nbrs[count] >= 0) {
+        if (nbrs[count] == static_cast<int32_t>(to)) return;  // already linked
+        ++count;
+    }
+    if (count < max_conn) {
+        nbrs[count] = static_cast<int32_t>(to);
+        mark_dirty(c, layer, row);
+        return;
+    }
+    // overfull: keep the max_conn closest live neighbors of `from`
+    std::vector<std::pair<float, int32_t>> items;
+    items.reserve(count + 1);
+    for (int32_t i = 0; i < count; ++i) {
+        const int32_t nb = nbrs[i];
+        if (c.deleted[nb]) continue;
+        items.emplace_back(distance(c, from, nb), nb);
+    }
+    if (!c.deleted[to]) {
+        items.emplace_back(distance(c, from, to), static_cast<int32_t>(to));
+    }
+    const size_t keep = std::min<size_t>(max_conn, items.size());
+    std::partial_sort(
+        items.begin(), items.begin() + keep, items.end());
+    for (size_t i = 0; i < keep; ++i) nbrs[i] = items[i].second;
+    for (size_t i = keep; i < static_cast<size_t>(max_conn); ++i) nbrs[i] = -1;
+    mark_dirty(c, layer, row);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success, 1 if the dirty buffer overflowed (caller falls back
+// to a full device re-upload).
+int32_t apply_chunk(
+    const float* vectors, int64_t cap, int64_t dim,
+    int32_t* neighbors0, int32_t m0,
+    int32_t n_layers, int32_t** layer_nbrs, int32_t** layer_rowof, int32_t m,
+    const uint8_t* deleted,
+    int32_t metric,
+    // device descent results: [n_cand_layers, B, efc]
+    const int32_t* cand_slots, const float* cand_dists,
+    int32_t n_cand_layers, int32_t B, int32_t efc,
+    // chunk
+    const int64_t* new_slots, const int32_t* levels,
+    const float* intra,  // [B, B] exact distances among chunk vectors
+    int32_t frozen_max,  // store.max_layer at descent time
+    // in/out: entrypoint bookkeeping
+    int64_t* entry_slot_io, int32_t* max_layer_io,
+    // out: dirty (layer, row) pairs
+    int32_t* dirty_out, int64_t max_dirty, int64_t* n_dirty_out) {
+    Ctx c{vectors, cap, dim, neighbors0, m0, n_layers,
+          layer_nbrs, layer_rowof, m, deleted, metric,
+          dirty_out, max_dirty, 0, false};
+
+    std::vector<std::pair<float, int32_t>> merged;
+    std::vector<int32_t> selected;
+
+    for (int32_t i = 0; i < B; ++i) {
+        const int32_t level = levels[i];
+        const int64_t slot = new_slots[i];
+        for (int32_t lc = level; lc >= 0; --lc) {
+            merged.clear();
+            // frozen-graph candidates from the device descent
+            if (lc <= frozen_max && lc < n_cand_layers) {
+                const int64_t base =
+                    (static_cast<int64_t>(lc) * B + i) * efc;
+                for (int32_t j = 0; j < efc; ++j) {
+                    const int32_t cs = cand_slots[base + j];
+                    if (cs < 0 || cs == static_cast<int32_t>(slot)) continue;
+                    if (lc >= 1 && layer_rowof[lc - 1][cs] < 0) continue;
+                    merged.emplace_back(cand_dists[base + j], cs);
+                }
+            }
+            // earlier chunk members present at this layer
+            for (int32_t j = 0; j < i; ++j) {
+                if (levels[j] >= lc) {
+                    merged.emplace_back(
+                        intra[static_cast<int64_t>(i) * B + j],
+                        static_cast<int32_t>(new_slots[j]));
+                }
+            }
+            if (merged.empty()) continue;
+            const int32_t max_conn = (lc == 0) ? m0 : m;
+            const size_t keep =
+                std::min<size_t>(max_conn, merged.size());
+            std::partial_sort(merged.begin(), merged.begin() + keep,
+                              merged.end());
+            selected.clear();
+            for (size_t j = 0; j < keep; ++j)
+                selected.push_back(merged[j].second);
+            // forward links
+            int32_t row;
+            int32_t* nbrs = adj_row(c, slot, lc, &row);
+            if (nbrs == nullptr) continue;
+            for (size_t j = 0; j < selected.size(); ++j)
+                nbrs[j] = selected[j];
+            const int32_t width = (lc == 0) ? m0 : m;
+            for (size_t j = selected.size();
+                 j < static_cast<size_t>(width); ++j)
+                nbrs[j] = -1;
+            mark_dirty(c, lc, row);
+            // reverse links + pruning
+            for (const int32_t nb : selected) add_link(c, nb, slot, lc);
+        }
+        if (level > *max_layer_io || *entry_slot_io < 0) {
+            if (level > *max_layer_io) *max_layer_io = level;
+            *entry_slot_io = slot;
+        }
+    }
+    *n_dirty_out = c.n_dirty;
+    return c.dirty_overflow ? 1 : 0;
+}
+
+}  // extern "C"
