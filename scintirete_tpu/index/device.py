@@ -279,7 +279,7 @@ def _search_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("metric", "efc", "m", "max_steps")
+    jax.jit, static_argnames=("metric", "efc", "ef_upper", "m", "max_steps")
 )
 def _build_descent_kernel(
     queries,  # [B, D] the new vectors
@@ -293,12 +293,19 @@ def _build_descent_kernel(
     entry_slot,
     metric: int,
     efc: int,
+    ef_upper: int,
     m: int,
     max_steps: int,
 ):
     """Returns (cand_slots [L+1, B, efc], cand_dists [L+1, B, efc]) where
     index l of the leading axis is graph layer l (0 = ground). Layers above a
-    vector's level hold -1/inf. Distances are comparison-form finalized."""
+    vector's level hold -1/inf. Distances are comparison-form finalized.
+
+    Upper-layer beams use `ef_upper` (<= efc): only the top-M per layer are
+    kept as links, so a 2M-wide beam loses little while cutting both compile
+    size (the per-layer loops unroll) and sequential steps. The ground layer
+    keeps the full efc width.
+    """
     B = queries.shape[0]
     L = len(upper_nbrs)
     dist_to = _make_dist_fn(queries, vectors, sq_norms, metric)
@@ -325,13 +332,22 @@ def _build_descent_kernel(
         collect = levels >= layer
         # pass-through queries (level < layer) hill-climb with ef=1
         g_cur, g_cur_d = _greedy_layer(dist_to, nbrs_l, rows_l, deleted, cur, cur_d)
-        # collectors run the efc beam seeded from the layer above
+        # collectors run the upper beam seeded from the layer above
         cs, cd, _ = _ef_beam(
-            dist_to, nbrs_l, rows_l, deleted, seed_s, seed_d, efc, max_steps,
-            active_mask=collect,
+            dist_to, nbrs_l, rows_l, deleted, seed_s, seed_d, ef_upper,
+            max_steps, active_mask=collect,
         )
-        out_slots[layer] = jnp.where(collect[:, None], cs, -1)
-        out_dists[layer] = jnp.where(collect[:, None], cd, _INF)
+        pad = efc - ef_upper
+        out_slots[layer] = jnp.pad(
+            jnp.where(collect[:, None], cs, -1),
+            ((0, 0), (0, pad)),
+            constant_values=-1,
+        )
+        out_dists[layer] = jnp.pad(
+            jnp.where(collect[:, None], cd, _INF),
+            ((0, 0), (0, pad)),
+            constant_values=jnp.inf,
+        )
         # next layer state
         found = collect & (cs[:, 0] >= 0)
         cur = jnp.where(found, jnp.maximum(cs[:, 0], 0), g_cur)
@@ -544,6 +560,7 @@ class DeviceIndex:
         a = self.graph.arrays
         if max_steps is None:
             max_steps = 4 * efc + 32
+        ef_upper = min(efc, max(2 * store.m, 32))
         slots, dists = _build_descent_kernel(
             jnp.asarray(queries, jnp.float32),
             jnp.asarray(levels, jnp.int32),
@@ -556,6 +573,7 @@ class DeviceIndex:
             jnp.int32(store.entry_slot),
             metric=int(store.metric),
             efc=efc,
+            ef_upper=ef_upper,
             m=store.m,
             max_steps=max_steps,
         )

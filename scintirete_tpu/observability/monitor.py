@@ -69,7 +69,9 @@ class SystemMonitor:
         self.sample_device = sample_device
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
-        self._last_cpu = 0.0
+        # baseline from current process counters so the first sample's
+        # utilization covers only the first interval, not process lifetime
+        self._last_cpu = sum(os.times()[:2])
         self._last_ts = time.time()
         self.last_sample: Optional[dict[str, Any]] = None
 
