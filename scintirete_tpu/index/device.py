@@ -2,26 +2,35 @@
 
 The reference answers one query at a time by chasing pointers through Go maps
 under a RWMutex (reference: hnsw.go:292-350, :487-557). Here search AND build
-descent run as jitted programs over whole batches against the flat graph
-arrays in HBM:
+descent run as jitted programs over whole batches against flat graph arrays
+in HBM.
 
-- `_search_kernel`: lockstep greedy descent over the upper layers followed by
-  a masked ef-beam at layer 0 (one query batch -> one program).
-- `_build_descent_kernel`: the insert path's descent against a frozen graph —
-  greedy through layers above each new vector's level, efc-beam collection at
-  every layer at-or-below it, beams seeded with the layer above's top-M
-  (reference semantics: selected neighbors become the next layer's entry
-  points, hnsw.go:216-249).
+Upper-layer adjacency is CONCATENATED into one table (`up_nbrs_cat`
+[sum cap_l, M]) with a flat node->row map per layer (`up_rows_flat`
+[L * cap], values pre-offset into the concatenated table). This makes every
+traversal loop layer-agnostic: ONE `lax.while_loop` descends all layers
+(each query tracks its own current layer), so compiled program size is O(1)
+in the number of layers and queries never barrier at layer boundaries.
 
-The beam keeps a sorted top-ef candidate list per query. No visited set is
-needed: the list is monotone (an item only enters by beating the current
-worst, and the worst only improves), so a displaced candidate can never
-re-enter; duplicate adds are blocked by an in-list membership mask. Each step
-expands one candidate per query: gather its <=2M neighbor rows, compute
-distances as one fused gather+einsum (f32 accumulation), merge via
-`lax.top_k`. The convergence predicate mirrors the reference's stop rule
-(frontier head worse than the worst kept candidate, hnsw.go:516-518), and
-deleted nodes never enter the candidate list (hnsw.go:527-530).
+Kernels:
+- `_search_kernel`: fused greedy descent (all upper layers, one loop) +
+  multi-expansion ef-beam at layer 0.
+- `_build_descent_kernel`: the insert path against a frozen graph — fused
+  greedy above each new vector's level, then ONE multi-layer beam loop in
+  which each query collects ef_upper candidates at its own layer, records
+  them, reseeds with its top-M (reference: selected neighbors become the
+  next layer's entry points, hnsw.go:216-249), and moves down; finally the
+  full-width efc beam at layer 0.
+
+The beam keeps a sorted top-ef candidate list per query and expands the
+`expand` nearest unexpanded candidates per step (multi-expansion: ~expand x
+fewer sequential steps). No visited set is needed: the list is monotone (an
+item only enters by beating the current worst, and the worst only improves),
+so a displaced candidate can never re-enter; duplicate adds are blocked by an
+in-list membership mask plus an intra-block first-occurrence mask. The
+convergence predicate mirrors the reference's stop rule (frontier head worse
+than the worst kept candidate, hnsw.go:516-518), and deleted nodes never
+enter the candidate list (hnsw.go:527-530).
 
 Distances use "comparison form" inside the loops (squared L2, true cosine,
 negated dot) and are finalized (sqrt for L2) once at the end, matching the
@@ -29,7 +38,7 @@ reference's returned values (reference: distance.go:21-116).
 
 `DeviceGraph` mirrors a host `GraphStore` in HBM and re-syncs lazily: full
 upload when shapes change (capacity growth), donated scatter updates of just
-the dirty rows otherwise — so chunked builds touch HBM proportionally to the
+the dirty rows otherwise — chunked builds touch HBM proportionally to the
 rows they modify, not to the collection size.
 """
 
@@ -50,6 +59,8 @@ _COSINE = int(DistanceMetric.COSINE)
 _IP = int(DistanceMetric.INNER_PRODUCT)
 
 _INF = jnp.float32(jnp.inf)
+
+DEFAULT_EXPAND = 8
 
 
 # ---------------------------------------------------------------------------
@@ -99,64 +110,103 @@ def _make_dist_fn(queries, vectors, sq_norms, metric):
 
 
 # ---------------------------------------------------------------------------
-# traversal building blocks (traced inline by the kernels)
+# fused traversal building blocks (traced inline by the kernels)
 # ---------------------------------------------------------------------------
 
 
-def _greedy_layer(dist_to, nbrs_l, rows_l, deleted, cur, cur_d):
-    """Hill-climb every query within one layer until no neighbor improves
-    (reference: searchLayer with numClosest=1)."""
-    B = cur.shape[0]
+def _fused_greedy(
+    dist_to, up_nbrs_cat, up_rows_flat, cap, deleted,
+    cur, cur_d, lvl, stop_lvl, max_iters,
+):
+    """Hill-climb each query at its own layer; on local convergence move one
+    layer down; finish when lvl == stop_lvl (per query). Equivalent to the
+    reference's per-layer searchLayer(ef=1) descent, with no layer barriers.
+    """
 
-    def cond(state):
-        return jnp.any(state[2])
+    def cond(st):
+        return jnp.any(st[2] > stop_lvl) & (st[3] < max_iters)
 
-    def body(state):
-        cur, cur_d, _ = state
-        rows = rows_l[cur] if rows_l is not None else cur
-        nbrs = nbrs_l[rows]
-        ok = (nbrs >= 0) & (rows >= 0)[:, None]
+    def body(st):
+        cur, cur_d, lvl, it = st
+        active = lvl > stop_lvl
+        flat = (jnp.maximum(lvl, 1) - 1) * cap + cur
+        row = up_rows_flat[flat]
+        row = jnp.where(active, row, -1)
+        nbrs = up_nbrs_cat[jnp.maximum(row, 0)]  # [B, M]
         safe = jnp.maximum(nbrs, 0)
-        ok = ok & ~deleted[safe]
+        ok = (nbrs >= 0) & (row >= 0)[:, None] & ~deleted[safe]
         d = jnp.where(ok, dist_to(safe), _INF)
         best = jnp.argmin(d, axis=1)
         best_d = jnp.take_along_axis(d, best[:, None], axis=1)[:, 0]
-        improve = best_d < cur_d
-        new_cur = jnp.where(
+        improve = (best_d < cur_d) & active
+        cur = jnp.where(
             improve, jnp.take_along_axis(nbrs, best[:, None], axis=1)[:, 0], cur
         )
-        return new_cur, jnp.where(improve, best_d, cur_d), improve
+        cur_d = jnp.where(improve, best_d, cur_d)
+        lvl = jnp.where(active & ~improve, lvl - 1, lvl)
+        return cur, cur_d, lvl, it + 1
 
-    cur, cur_d, _ = jax.lax.while_loop(cond, body, (cur, cur_d, jnp.ones((B,), bool)))
+    cur, cur_d, lvl, _ = jax.lax.while_loop(
+        cond, body, (cur, cur_d, lvl, jnp.int32(0))
+    )
     return cur, cur_d
 
 
-def _ef_beam(
-    dist_to,
-    nbrs_table,
-    row_of,  # None for layer 0 (rows are node slots)
-    deleted,
-    entry_slots,  # [B, E] node slots, -1 padded
-    entry_dists,  # [B, E] cmp distances, +inf where -1
-    ef: int,
-    max_steps: int,
-    active_mask=None,  # [B] bool; inactive queries return their entries as-is
-    expand: int = 8,
+def _beam_step(
+    dist_to, deleted, cand_s, cand_d, expanded, rows_of_slots, nbr_lookup,
+    active, expand,
 ):
-    """Masked batched ef-beam in one layer. Returns (slots [B, ef],
-    dists [B, ef]) sorted ascending; -1/inf padding.
+    """One multi-expansion beam step (shared by the layer-0 and multi-layer
+    beams). `rows_of_slots(slots [B, E]) -> rows`, `nbr_lookup(rows) ->
+    neighbor slots [B, E, deg]`."""
+    B, ef = cand_s.shape
+    unexp_d = jnp.where(expanded | (cand_s < 0), _INF, cand_d)
+    neg_top, i_stars = jax.lax.top_k(-unexp_d, expand)  # [B, expand]
+    sel_ok = jnp.isfinite(-neg_top) & active[:, None]
+    slot_stars = jnp.maximum(jnp.take_along_axis(cand_s, i_stars, axis=1), 0)
+    old_flags = jnp.take_along_axis(expanded, i_stars, axis=1)
+    b_idx = jnp.arange(B)
+    expanded = expanded.at[b_idx[:, None], i_stars].set(old_flags | sel_ok)
 
-    `expand` candidates are expanded per step (multi-expansion): the
-    sequential step count drops ~expand-fold while each step's gather /
-    merge grows sub-linearly — the right trade on TPU where per-step
-    latency dominates. Expanding slightly-worse candidates early only ever
-    widens exploration, so the result set is a superset of 1-expansion's.
-    """
+    rows = rows_of_slots(slot_stars)  # [B, expand]
+    nbrs3 = nbr_lookup(jnp.maximum(rows, 0))  # [B, expand, deg]
+    deg = nbrs3.shape[2]
+    K = expand * deg
+    nbrs = nbrs3.reshape(B, K)
+    safe = jnp.maximum(nbrs, 0)
+    ok = (nbrs >= 0) & jnp.repeat(sel_ok & (rows >= 0), deg, axis=1)
+    ok = ok & ~deleted[safe]
+    dup_list = jnp.any(nbrs[:, :, None] == cand_s[:, None, :], axis=2)
+    eq = nbrs[:, :, None] == nbrs[:, None, :]
+    earlier = jnp.tril(jnp.ones((K, K), bool), k=-1)
+    dup_block = jnp.any(eq & earlier[None, :, :], axis=2)
+    usable = ok & ~dup_list & ~dup_block
+    d = jnp.where(usable, dist_to(safe), _INF)
+    all_d = jnp.concatenate([cand_d, d], axis=1)
+    all_s = jnp.concatenate([cand_s, jnp.where(usable, nbrs, -1)], axis=1)
+    all_e = jnp.concatenate([expanded, jnp.zeros((B, K), bool)], axis=1)
+    top_negd, sel = jax.lax.top_k(-all_d, ef)
+    return (
+        jnp.take_along_axis(all_s, sel, axis=1),
+        -top_negd,
+        jnp.take_along_axis(all_e, sel, axis=1),
+    )
+
+
+def _beam_converged(cand_s, cand_d, expanded):
+    unexp_d = jnp.where(expanded | (cand_s < 0), _INF, cand_d)
+    best_unexp = jnp.min(unexp_d, axis=1)
+    worst = cand_d[:, -1]
+    return ~((best_unexp <= worst) & jnp.isfinite(best_unexp))
+
+
+def _ef_beam_layer0(
+    dist_to, neighbors0, deleted, entry_slots, entry_dists, ef, max_steps,
+    expand=DEFAULT_EXPAND,
+):
+    """Layer-0 ef-beam. Entries [B, E]; returns sorted (slots, dists, steps)."""
     B, E = entry_slots.shape
-    deg = nbrs_table.shape[1]
     expand = min(expand, ef)
-
-    # seed the sorted candidate list with the entries
     pad = ef - E
     if pad > 0:
         cand_s = jnp.concatenate(
@@ -169,64 +219,25 @@ def _ef_beam(
     cand_d = jnp.take_along_axis(cand_d, order, axis=1)
     cand_s = jnp.take_along_axis(cand_s, order, axis=1)
     expanded = jnp.zeros((B, ef), bool)
-    if active_mask is None:
-        active_mask = jnp.ones((B,), bool)
-    b_idx = jnp.arange(B)
-    K = expand * deg  # gathered block width per step
 
-    def state_active(state):
-        cand_s, cand_d, expanded, _ = state
-        unexp_d = jnp.where(expanded | (cand_s < 0), _INF, cand_d)
-        best_unexp = jnp.min(unexp_d, axis=1)
-        worst = cand_d[:, -1]
-        active = (best_unexp <= worst) & jnp.isfinite(best_unexp) & active_mask
-        return active, unexp_d
+    def cond(st):
+        return jnp.any(~_beam_converged(st[0], st[1], st[2])) & (st[3] < max_steps)
 
-    def cond(state):
-        active, _ = state_active(state)
-        return jnp.any(active) & (state[3] < max_steps)
-
-    def body(state):
-        cand_s, cand_d, expanded, steps = state
-        active, unexp_d = state_active(state)
-        # expand the `expand` nearest unexpanded candidates at once
-        neg_top, i_stars = jax.lax.top_k(-unexp_d, expand)  # [B, expand]
-        sel_ok = jnp.isfinite(-neg_top) & active[:, None]
-        slot_stars = jnp.take_along_axis(cand_s, i_stars, axis=1)
-        slot_stars = jnp.maximum(slot_stars, 0)
-        old_flags = jnp.take_along_axis(expanded, i_stars, axis=1)
-        expanded = expanded.at[b_idx[:, None], i_stars].set(old_flags | sel_ok)
-
-        rows = row_of[slot_stars] if row_of is not None else slot_stars
-        nbrs = nbrs_table[rows].reshape(B, K)  # [B, expand*deg]
-        safe = jnp.maximum(nbrs, 0)
-        ok = (nbrs >= 0) & jnp.repeat(sel_ok & (rows >= 0), deg, axis=1)
-        ok = ok & ~deleted[safe]
-        # dedup against the kept list (monotone list -> membership is the
-        # only re-entry path) and within the gathered block (two expanded
-        # nodes may share a neighbor)
-        dup_list = jnp.any(nbrs[:, :, None] == cand_s[:, None, :], axis=2)
-        eq = nbrs[:, :, None] == nbrs[:, None, :]  # [B, K, K]
-        earlier = jnp.tril(jnp.ones((K, K), bool), k=-1)
-        dup_block = jnp.any(eq & earlier[None, :, :], axis=2)
-        usable = ok & ~dup_list & ~dup_block
-        d = jnp.where(usable, dist_to(safe), _INF)
-        all_d = jnp.concatenate([cand_d, d], axis=1)
-        all_s = jnp.concatenate([cand_s, jnp.where(usable, nbrs, -1)], axis=1)
-        all_e = jnp.concatenate([expanded, jnp.zeros((B, K), bool)], axis=1)
-        top_negd, sel = jax.lax.top_k(-all_d, ef)
-        return (
-            jnp.take_along_axis(all_s, sel, axis=1),
-            -top_negd,
-            jnp.take_along_axis(all_e, sel, axis=1),
-            steps + 1,
+    def body(st):
+        cand_s, cand_d, expanded, steps = st
+        active = ~_beam_converged(cand_s, cand_d, expanded)
+        cand_s, cand_d, expanded = _beam_step(
+            dist_to, deleted, cand_s, cand_d, expanded,
+            rows_of_slots=lambda s: s,
+            nbr_lookup=lambda rows: neighbors0[rows],
+            active=active, expand=expand,
         )
+        return cand_s, cand_d, expanded, steps + 1
 
     cand_s, cand_d, expanded, steps = jax.lax.while_loop(
         cond, body, (cand_s, cand_d, expanded, jnp.int32(0))
     )
-    cand_s = jnp.where(jnp.isinf(cand_d), -1, cand_s)
-    return cand_s, cand_d, steps
+    return jnp.where(jnp.isinf(cand_d), -1, cand_s), cand_d, steps
 
 
 # ---------------------------------------------------------------------------
@@ -241,31 +252,29 @@ def _search_kernel(
     sq_norms,  # [cap] f32
     deleted,  # [cap] bool
     neighbors0,  # [cap, 2M] i32
-    upper_nbrs: tuple,  # per layer (top..1): [cap_l, M] i32 (node-slot entries)
-    upper_rows: tuple,  # per layer (top..1): [cap] i32 (node slot -> row)
+    up_nbrs_cat,  # [R_total, M] i32 (concatenated upper adjacency)
+    up_rows_flat,  # [L * cap] i32 (pre-offset rows, -1 absent)
     entry_slot,  # scalar i32
+    entry_level,  # scalar i32
     metric: int,
     ef: int,
     k: int,
     max_steps: int,
 ):
     B = queries.shape[0]
+    cap = vectors.shape[0]
     dist_to = _make_dist_fn(queries, vectors, sq_norms, metric)
 
     cur = jnp.full((B,), entry_slot, jnp.int32)
     cur_d = dist_to(cur[:, None])[:, 0]
-    for nbrs_l, rows_l in zip(upper_nbrs, upper_rows):
-        cur, cur_d = _greedy_layer(dist_to, nbrs_l, rows_l, deleted, cur, cur_d)
+    lvl = jnp.full((B,), entry_level, jnp.int32)
+    cur, cur_d = _fused_greedy(
+        dist_to, up_nbrs_cat, up_rows_flat, cap, deleted,
+        cur, cur_d, lvl, jnp.zeros((B,), jnp.int32), max_iters=16 * 64,
+    )
 
-    cand_s, cand_d, steps = _ef_beam(
-        dist_to,
-        neighbors0,
-        None,
-        deleted,
-        cur[:, None],
-        cur_d[:, None],
-        ef,
-        max_steps,
+    cand_s, cand_d, steps = _ef_beam_layer0(
+        dist_to, neighbors0, deleted, cur[:, None], cur_d[:, None], ef, max_steps
     )
     out_d = _finalize(cand_d[:, :k], metric)
     out_s = cand_s[:, :k]
@@ -279,7 +288,8 @@ def _search_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("metric", "efc", "ef_upper", "m", "max_steps")
+    jax.jit,
+    static_argnames=("metric", "efc", "ef_upper", "m", "n_layers", "max_steps"),
 )
 def _build_descent_kernel(
     queries,  # [B, D] the new vectors
@@ -288,84 +298,107 @@ def _build_descent_kernel(
     sq_norms,
     deleted,
     neighbors0,
-    upper_nbrs: tuple,  # top..1
-    upper_rows: tuple,
+    up_nbrs_cat,
+    up_rows_flat,
     entry_slot,
+    entry_level,
     metric: int,
     efc: int,
     ef_upper: int,
     m: int,
+    n_layers: int,  # L: number of allocated upper layers
     max_steps: int,
 ):
-    """Returns (cand_slots [L+1, B, efc], cand_dists [L+1, B, efc]) where
-    index l of the leading axis is graph layer l (0 = ground). Layers above a
-    vector's level hold -1/inf. Distances are comparison-form finalized.
-
-    Upper-layer beams use `ef_upper` (<= efc): only the top-M per layer are
-    kept as links, so a 2M-wide beam loses little while cutting both compile
-    size (the per-layer loops unroll) and sequential steps. The ground layer
-    keeps the full efc width.
-    """
+    """Returns (upper_slots [L+1, B, ef_upper], upper_dists, ground_slots
+    [B, efc], ground_dists). upper_*[l] holds layer-l candidates for queries
+    with level >= l (-1/inf otherwise); index 0 of the leading axis is
+    unused. Distances are finalized."""
     B = queries.shape[0]
-    L = len(upper_nbrs)
+    cap = vectors.shape[0]
+    L = n_layers
+    expand = min(DEFAULT_EXPAND, ef_upper)
     dist_to = _make_dist_fn(queries, vectors, sq_norms, metric)
 
+    # phase 1: greedy descent to each query's own start layer
     cur = jnp.full((B,), entry_slot, jnp.int32)
     cur_d = dist_to(cur[:, None])[:, 0]
-
-    out_slots = [None] * (L + 1)
-    out_dists = [None] * (L + 1)
-
-    def single_seed(slots, dists):
-        # [B] -> [B, m] padded seed lists
-        s = jnp.full((B, m), -1, jnp.int32).at[:, 0].set(slots)
-        d = jnp.full((B, m), _INF).at[:, 0].set(dists)
-        return s, d
-
-    # entries for the next layer's beam: top-m of this layer's beam for
-    # collectors (reference: entryPoints = selectedNeighbors), the greedy
-    # result for pass-through queries
-    seed_s, seed_d = single_seed(cur, cur_d)
-
-    for i, (nbrs_l, rows_l) in enumerate(zip(upper_nbrs, upper_rows)):
-        layer = L - i
-        collect = levels >= layer
-        # pass-through queries (level < layer) hill-climb with ef=1
-        g_cur, g_cur_d = _greedy_layer(dist_to, nbrs_l, rows_l, deleted, cur, cur_d)
-        # collectors run the upper beam seeded from the layer above
-        cs, cd, _ = _ef_beam(
-            dist_to, nbrs_l, rows_l, deleted, seed_s, seed_d, ef_upper,
-            max_steps, active_mask=collect,
-        )
-        pad = efc - ef_upper
-        out_slots[layer] = jnp.pad(
-            jnp.where(collect[:, None], cs, -1),
-            ((0, 0), (0, pad)),
-            constant_values=-1,
-        )
-        out_dists[layer] = jnp.pad(
-            jnp.where(collect[:, None], cd, _INF),
-            ((0, 0), (0, pad)),
-            constant_values=jnp.inf,
-        )
-        # next layer state
-        found = collect & (cs[:, 0] >= 0)
-        cur = jnp.where(found, jnp.maximum(cs[:, 0], 0), g_cur)
-        cur_d = jnp.where(found, cd[:, 0], g_cur_d)
-        g_seed_s, g_seed_d = single_seed(g_cur, g_cur_d)
-        seed_s = jnp.where(collect[:, None], cs[:, :m], g_seed_s)
-        seed_d = jnp.where(collect[:, None], cd[:, :m], g_seed_d)
-
-    # ground layer: every query collects
-    cs, cd, _ = _ef_beam(
-        dist_to, neighbors0, None, deleted, seed_s, seed_d, efc, max_steps
+    lvl0 = jnp.full((B,), entry_level, jnp.int32)
+    cur, cur_d = _fused_greedy(
+        dist_to, up_nbrs_cat, up_rows_flat, cap, deleted,
+        cur, cur_d, lvl0, jnp.minimum(levels, entry_level), max_iters=16 * 64,
     )
-    out_slots[0] = cs
-    out_dists[0] = cd
 
-    slots = jnp.stack(out_slots, axis=0)
-    dists = jnp.stack(out_dists, axis=0)
-    return slots, _finalize(dists, metric)
+    # phase 2: one multi-layer beam loop — each query beams at its own layer,
+    # records its candidates, reseeds with top-m, moves down
+    out_s = jnp.full((L + 1, B, ef_upper), -1, jnp.int32)
+    out_d = jnp.full((L + 1, B, ef_upper), _INF)
+    cand_s = jnp.full((B, ef_upper), -1, jnp.int32).at[:, 0].set(cur)
+    cand_d = jnp.full((B, ef_upper), _INF).at[:, 0].set(cur_d)
+    expanded = jnp.zeros((B, ef_upper), bool)
+    cur_lvl = jnp.minimum(levels, entry_level)  # collection starts here
+    b_idx = jnp.arange(B)
+
+    def up_cond(st):
+        return jnp.any(st[5] >= 1) & (st[6] < max_steps)
+
+    def up_body(st):
+        cand_s, cand_d, expanded, o_s, o_d, cur_lvl, steps = st
+        in_layers = cur_lvl >= 1
+        converged = _beam_converged(cand_s, cand_d, expanded)
+        transition = in_layers & converged
+        stepping = in_layers & ~converged
+
+        # beam step at each query's current layer
+        def rows_of(slots):
+            flat = (jnp.maximum(cur_lvl, 1)[:, None] - 1) * cap + slots
+            return up_rows_flat[flat]
+
+        new_s, new_d, new_e = _beam_step(
+            dist_to, deleted, cand_s, cand_d, expanded,
+            rows_of_slots=rows_of,
+            nbr_lookup=lambda rows: up_nbrs_cat[rows],
+            active=stepping, expand=expand,
+        )
+        cand_s = jnp.where(stepping[:, None], new_s, cand_s)
+        cand_d = jnp.where(stepping[:, None], new_d, cand_d)
+        expanded = jnp.where(stepping[:, None], new_e, expanded)
+
+        # record converged layers: out[cur_lvl, b] = candidate list
+        rec_s = jnp.where(transition[:, None], cand_s, o_s[cur_lvl, b_idx])
+        rec_d = jnp.where(transition[:, None], cand_d, o_d[cur_lvl, b_idx])
+        o_s = o_s.at[cur_lvl, b_idx].set(rec_s)
+        o_d = o_d.at[cur_lvl, b_idx].set(rec_d)
+
+        # reseed with the top-m for the next layer (entries stay valid: any
+        # layer-l member is a member of every lower layer)
+        keep = jnp.arange(ef_upper) < m
+        seed_s = jnp.where(keep[None, :], cand_s, -1)
+        seed_d = jnp.where(keep[None, :], cand_d, _INF)
+        cand_s = jnp.where(transition[:, None], seed_s, cand_s)
+        cand_d = jnp.where(transition[:, None], seed_d, cand_d)
+        expanded = jnp.where(transition[:, None], False, expanded)
+        cur_lvl = jnp.where(transition, cur_lvl - 1, cur_lvl)
+        return cand_s, cand_d, expanded, o_s, o_d, cur_lvl, steps + 1
+
+    cand_s, cand_d, expanded, out_s, out_d, cur_lvl, _ = jax.lax.while_loop(
+        up_cond,
+        up_body,
+        (cand_s, cand_d, expanded, out_s, out_d, cur_lvl, jnp.int32(0)),
+    )
+
+    # phase 3: ground layer, full efc width, seeded from each query's final list
+    g_s, g_d, _ = _ef_beam_layer0(
+        dist_to, neighbors0, deleted,
+        jnp.where(jnp.arange(ef_upper)[None, :] < m, cand_s, -1),
+        jnp.where(jnp.arange(ef_upper)[None, :] < m, cand_d, _INF),
+        efc, max_steps,
+    )
+    return (
+        jnp.where(jnp.isinf(out_d), -1, out_s),
+        _finalize(out_d, metric),
+        g_s,
+        _finalize(g_d, metric),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -382,6 +415,30 @@ def _scatter_rows(arr, idx, vals):
 def _pad_pow2(n: int, minimum: int = 64) -> int:
     n = max(n, minimum)
     return 1 << (n - 1).bit_length()
+
+
+def build_cat_tables(store: GraphStore):
+    """Host-side concatenated upper adjacency + flat pre-offset row map.
+    Returns (cat [R_total, M], rows_flat [L * cap], offsets)."""
+    offsets = []
+    off = 0
+    for ls in store.layers:
+        offsets.append(off)
+        off += ls.cap
+    L = len(store.layers)
+    if L == 0:
+        return (
+            np.full((1, store.m), -1, np.int32),
+            np.full(store.cap, -1, np.int32),
+            offsets,
+        )
+    cat = np.concatenate([ls.nbrs for ls in store.layers], axis=0)
+    rows = np.full(L * store.cap, -1, np.int32)
+    for l, ls in enumerate(store.layers):
+        valid = ls.row_of >= 0
+        seg = rows[l * store.cap : (l + 1) * store.cap]
+        seg[valid] = ls.row_of[valid] + offsets[l]
+    return cat, rows, offsets
 
 
 # ---------------------------------------------------------------------------
@@ -402,11 +459,16 @@ class DeviceGraph:
         self._version = -1
         self._shape_sig: Any = None
         self.arrays: dict[str, Any] = {}
+        self._offsets: list[int] = []
 
     def _signature(self, store: GraphStore):
         # keyed to the ALLOCATED layer tables (not max_layer) so that entry
         # level growth during a build never changes device shapes
         return (store.cap, tuple(ls.cap for ls in store.layers))
+
+    @property
+    def n_layers(self) -> int:
+        return len(self._offsets)
 
     def sync(self, store: GraphStore) -> None:
         if store.version == self._version:
@@ -420,8 +482,13 @@ class DeviceGraph:
         self._version = store.version
         self._shape_sig = sig
 
+    def _cat_tables(self, store: GraphStore):
+        cat, rows, self._offsets = build_cat_tables(store)
+        return cat, rows
+
     def _full_upload(self, store: GraphStore) -> None:
         vecs = store.vectors
+        cat, rows = self._cat_tables(store)
         self.arrays = {
             "vectors": jnp.asarray(vecs, dtype=self.dtype),
             "sq_norms": jnp.asarray(
@@ -429,66 +496,78 @@ class DeviceGraph:
             ),
             "deleted": jnp.asarray(store.deleted),
             "neighbors0": jnp.asarray(store.neighbors0),
-            "upper_nbrs": tuple(
-                jnp.asarray(ls.nbrs) for ls in reversed(store.layers)
-            ),
-            "upper_rows": tuple(
-                jnp.asarray(ls.row_of) for ls in reversed(store.layers)
-            ),
+            "up_nbrs_cat": jnp.asarray(cat),
+            "up_rows_flat": jnp.asarray(rows),
         }
 
     @staticmethod
-    def _scatter_into(device_arr, rows: set, host_arr: np.ndarray):
-        """Scatter dirty host rows into the (donated) device array; row
-        indices are padded to power-of-two buckets with out-of-bounds
-        sentinels (dropped by the scatter) to bound compile variants."""
-        idx = np.fromiter(rows, np.int32, len(rows))
+    def _scatter_into(device_arr, idx: np.ndarray, vals: np.ndarray):
+        """Scatter host values into the (donated) device array; indices are
+        padded to power-of-two buckets with out-of-bounds sentinels (dropped
+        by the scatter) to bound compile variants."""
+        oob = device_arr.shape[0]
         pad = _pad_pow2(len(idx)) - len(idx)
         if pad:
-            idx = np.concatenate([idx, np.full(pad, host_arr.shape[0], np.int32)])
-        vals = host_arr[np.minimum(idx, host_arr.shape[0] - 1)]
+            idx = np.concatenate([idx, np.full(pad, oob, np.int32)])
+            fill = np.zeros((pad,) + vals.shape[1:], vals.dtype)
+            vals = np.concatenate([vals, fill])
         vals_j = jnp.asarray(vals).astype(device_arr.dtype)
         return _scatter_rows(device_arr, jnp.asarray(idx), vals_j)
 
     def _incremental(self, store: GraphStore, dirty: dict) -> None:
         a = self.arrays
-        vec_rows = dirty["vectors"]
-        if vec_rows:
-            a["vectors"] = self._scatter_into(a["vectors"], vec_rows, store.vectors)
-            norms = np.sum(
-                store.vectors[sorted(vec_rows)].astype(np.float32) ** 2, axis=1
+        if dirty["vectors"]:
+            rows = np.fromiter(dirty["vectors"], np.int32, len(dirty["vectors"]))
+            a["vectors"] = self._scatter_into(
+                a["vectors"], rows, store.vectors[rows]
             )
-            full_norms = np.zeros(store.cap, np.float32)
-            full_norms[sorted(vec_rows)] = norms
-            a["sq_norms"] = self._scatter_into(a["sq_norms"], vec_rows, full_norms)
+            norms = np.sum(store.vectors[rows].astype(np.float32) ** 2, axis=1)
+            a["sq_norms"] = self._scatter_into(a["sq_norms"], rows, norms)
         if dirty["neighbors0"]:
+            rows = np.fromiter(
+                dirty["neighbors0"], np.int32, len(dirty["neighbors0"])
+            )
             a["neighbors0"] = self._scatter_into(
-                a["neighbors0"], dirty["neighbors0"], store.neighbors0
+                a["neighbors0"], rows, store.neighbors0[rows]
             )
         if dirty["deleted"]:
+            rows = np.fromiter(dirty["deleted"], np.int32, len(dirty["deleted"]))
             a["deleted"] = self._scatter_into(
-                a["deleted"], dirty["deleted"], store.deleted
+                a["deleted"], rows, store.deleted[rows]
             )
-        n_up = len(store.layers)
-        upper_nbrs = list(a["upper_nbrs"])
-        upper_rows = list(a["upper_rows"])
-        for l in range(1, n_up + 1):
-            ls = store.layers[l - 1]
-            pos = n_up - l  # tuples are ordered top..1
+        # upper layers: adjacency rows into the concatenated table, row-map
+        # entries into the flat (pre-offset) map
+        cat_idx, cat_vals = [], []
+        map_idx, map_vals = [], []
+        for l, ls in enumerate(store.layers, start=1):
+            off = self._offsets[l - 1]
             rows = dirty["layers"].get(l)
             if rows:
-                upper_nbrs[pos] = self._scatter_into(upper_nbrs[pos], rows, ls.nbrs)
-            row_map_rows = dirty["layer_rows"].get(l)
-            if row_map_rows:
-                upper_rows[pos] = self._scatter_into(
-                    upper_rows[pos], row_map_rows, ls.row_of
-                )
-        a["upper_nbrs"] = tuple(upper_nbrs)
-        a["upper_rows"] = tuple(upper_rows)
+                r = np.fromiter(rows, np.int32, len(rows))
+                cat_idx.append(r + off)
+                cat_vals.append(ls.nbrs[r])
+            slots = dirty["layer_rows"].get(l)
+            if slots:
+                s = np.fromiter(slots, np.int32, len(slots))
+                map_idx.append((l - 1) * store.cap + s)
+                vals = np.where(ls.row_of[s] >= 0, ls.row_of[s] + off, -1)
+                map_vals.append(vals.astype(np.int32))
+        if cat_idx:
+            a["up_nbrs_cat"] = self._scatter_into(
+                a["up_nbrs_cat"],
+                np.concatenate(cat_idx),
+                np.concatenate(cat_vals),
+            )
+        if map_idx:
+            a["up_rows_flat"] = self._scatter_into(
+                a["up_rows_flat"],
+                np.concatenate(map_idx),
+                np.concatenate(map_vals),
+            )
 
 
 class DeviceIndex:
-    """Batched search dispatch over a DeviceGraph mirror."""
+    """Batched search + build-descent dispatch over a DeviceGraph mirror."""
 
     def __init__(self, dtype: str = "float32", max_batch: int = 256,
                  graph: Optional[DeviceGraph] = None):
@@ -501,6 +580,12 @@ class DeviceIndex:
     @property
     def _arrays(self):
         return self.graph.arrays
+
+    @staticmethod
+    def _entry_info(store: GraphStore):
+        entry = max(store.entry_slot, 0)
+        level = int(store.levels[entry]) if store.entry_slot >= 0 else 0
+        return jnp.int32(entry), jnp.int32(max(level, 0))
 
     def search(
         self,
@@ -516,10 +601,11 @@ class DeviceIndex:
         ef = max(ef, k)
         if max_steps is None:
             # generous bound; convergence normally stops the loop much earlier
-            max_steps = 4 * ef + 32
+            max_steps = ef + 64
         out_slots = np.empty((B, k), np.int64)
         out_dists = np.empty((B, k), np.float32)
         a = self.graph.arrays
+        entry, entry_level = self._entry_info(store)
         for start in range(0, B, self.max_batch):
             chunk = queries[start : start + self.max_batch]
             n = chunk.shape[0]
@@ -534,9 +620,10 @@ class DeviceIndex:
                 a["sq_norms"],
                 a["deleted"],
                 a["neighbors0"],
-                a["upper_nbrs"],
-                a["upper_rows"],
-                jnp.int32(store.entry_slot),
+                a["up_nbrs_cat"],
+                a["up_rows_flat"],
+                entry,
+                entry_level,
                 metric=int(store.metric),
                 ef=ef,
                 k=k,
@@ -555,26 +642,40 @@ class DeviceIndex:
         max_steps: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Descent for a chunk of new vectors against the frozen synced graph.
-        Returns (slots [L+1, B, efc], dists [L+1, B, efc])."""
+        Returns (slots [L+1, B, efc-padded], dists) — upper layers occupy the
+        first ef_upper columns, the ground layer the full efc."""
         self.sync(store)
         a = self.graph.arrays
-        if max_steps is None:
-            max_steps = 4 * efc + 32
         ef_upper = min(efc, max(2 * store.m, 32))
-        slots, dists = _build_descent_kernel(
+        if max_steps is None:
+            # every query pays ~(ef / expand) steps per layer it collects at
+            max_steps = (len(store.layers) + 2) * (ef_upper + 64) + efc
+        entry, entry_level = self._entry_info(store)
+        u_s, u_d, g_s, g_d = _build_descent_kernel(
             jnp.asarray(queries, jnp.float32),
             jnp.asarray(levels, jnp.int32),
             a["vectors"],
             a["sq_norms"],
             a["deleted"],
             a["neighbors0"],
-            a["upper_nbrs"],
-            a["upper_rows"],
-            jnp.int32(store.entry_slot),
+            a["up_nbrs_cat"],
+            a["up_rows_flat"],
+            entry,
+            entry_level,
             metric=int(store.metric),
             efc=efc,
             ef_upper=ef_upper,
             m=store.m,
+            n_layers=len(store.layers),
             max_steps=max_steps,
         )
-        return np.asarray(slots), np.asarray(dists)
+        u_s, u_d = np.asarray(u_s), np.asarray(u_d)
+        g_s, g_d = np.asarray(g_s), np.asarray(g_d)
+        L1, B = u_s.shape[0], u_s.shape[1]
+        slots = np.full((L1, B, efc), -1, np.int32)
+        dists = np.full((L1, B, efc), np.inf, np.float32)
+        slots[:, :, : u_s.shape[2]] = u_s
+        dists[:, :, : u_d.shape[2]] = u_d
+        slots[0] = g_s
+        dists[0] = g_d
+        return slots, dists

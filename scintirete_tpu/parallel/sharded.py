@@ -172,19 +172,17 @@ class ShardedFlatIndex:
     jax.jit, static_argnames=("metric", "ef", "k", "max_steps", "mesh")
 )
 def _fused_sharded_search(
-    q, vectors, sq_norms, deleted, neighbors0, upper_nbrs, upper_rows, entry,
+    q, vectors, sq_norms, deleted, neighbors0, up_nbrs_cat, up_rows_flat,
+    entry, entry_level,
     metric: int, ef: int, k: int, max_steps: int, mesh: Mesh,
 ):
     """One program: per-shard HNSW beam search + all_gather merge over ICI."""
 
-    def local(q, vectors, sq_norms, deleted, neighbors0, *rest):
-        n_up = len(rest) // 2
-        u_nbrs = tuple(r[0] for r in rest[:n_up])
-        u_rows = tuple(r[0] for r in rest[n_up:-1])
-        entry_local = rest[-1][0]
+    def local(q, vectors, sq_norms, deleted, neighbors0, up_cat, up_rows,
+              entry, entry_level):
         d, s, _ = _search_kernel(
             q, vectors[0], sq_norms[0], deleted[0], neighbors0[0],
-            u_nbrs, u_rows, entry_local,
+            up_cat[0], up_rows[0], entry[0], entry_level[0],
             metric=metric, ef=ef, k=k, max_steps=max_steps,
         )
         shard_id = jax.lax.axis_index("shard")
@@ -197,25 +195,24 @@ def _fused_sharded_search(
         best_d, sel = jax.lax.top_k(-all_d, k)
         return -best_d, jnp.take_along_axis(all_s, sel, axis=1)
 
-    base_specs = (
-        P(None, None),  # queries replicated
-        P("shard", None, None),
-        P("shard", None),
-        P("shard", None),
-        P("shard", None, None),
-    )
-    rest_specs = (
-        tuple(P("shard", None, None) for _ in upper_nbrs)
-        + tuple(P("shard", None) for _ in upper_rows)
-        + (P("shard"),)
-    )
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=base_specs + rest_specs,
+        in_specs=(
+            P(None, None),  # queries replicated
+            P("shard", None, None),
+            P("shard", None),
+            P("shard", None),
+            P("shard", None, None),
+            P("shard", None, None),
+            P("shard", None),
+            P("shard"),
+            P("shard"),
+        ),
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,  # outputs are replicated over "shard" after all_gather
-    )(q, vectors, sq_norms, deleted, neighbors0, *upper_nbrs, *upper_rows, entry)
+    )(q, vectors, sq_norms, deleted, neighbors0, up_nbrs_cat, up_rows_flat,
+      entry, entry_level)
 
 
 class ShardedHNSWIndex:
@@ -291,29 +288,32 @@ class ShardedHNSWIndex:
         versions = [sub.store.version for sub in self.subs]
         if self._stacked is not None and versions == self._synced_versions:
             return
+        from scintirete_tpu.index.device import build_cat_tables
+
         stores = [sub.store for sub in self.subs]
         cap = max(s.cap for s in stores)
-        max_upper = max((s.max_layer for s in stores), default=0)
-        max_upper = max(max_upper, 1)
-        layer_caps = [
-            max(
-                (
-                    s.layers[l].cap if l < len(s.layers) else 1
-                    for s in stores
-                ),
-            )
-            for l in range(max_upper)
-        ]
 
         def pad2(a, rows, fill):
             out = np.full((rows,) + a.shape[1:], fill, a.dtype)
             out[: a.shape[0]] = a
             return out
 
-        vecs, norms, deleted, nbrs0 = [], [], [], []
-        upper_nbrs = [[] for _ in range(max_upper)]
-        upper_rows = [[] for _ in range(max_upper)]
-        entries = []
+        cats, rowmaps = [], []
+        for s in stores:
+            cat, rows, _ = build_cat_tables(s)
+            # rows are per-layer segments of length s.cap; re-segment to the
+            # unified cap so flat indexing (l * cap + slot) stays correct
+            L = max(len(s.layers), 1)
+            seg = rows.reshape(L, -1)
+            seg = pad2(seg.T, cap, -1).T.reshape(-1)  # pad slot dim per layer
+            cats.append(cat)
+            rowmaps.append(seg)
+        cat_rows = max(c.shape[0] for c in cats)
+        map_len = max(r.shape[0] for r in rowmaps)
+        cats = [pad2(c, cat_rows, -1) for c in cats]
+        rowmaps = [pad2(r, map_len, -1) for r in rowmaps]
+
+        vecs, norms, deleted, nbrs0, entries, entry_levels = [], [], [], [], [], []
         for s in stores:
             vecs.append(pad2(s.vectors, cap, 0.0))
             norms.append(
@@ -321,17 +321,10 @@ class ShardedHNSWIndex:
             )
             deleted.append(pad2(s.deleted, cap, True))
             nbrs0.append(pad2(s.neighbors0, cap, -1))
-            entries.append(max(s.entry_slot, 0))
-            for l in range(max_upper):
-                if l < len(s.layers) and l < s.max_layer:
-                    ls = s.layers[l]
-                    upper_nbrs[l].append(pad2(ls.nbrs, layer_caps[l], -1))
-                    upper_rows[l].append(pad2(ls.row_of, cap, -1))
-                else:
-                    upper_nbrs[l].append(
-                        np.full((layer_caps[l], self.params.m), -1, np.int32)
-                    )
-                    upper_rows[l].append(np.full(cap, -1, np.int32))
+            e = max(s.entry_slot, 0)
+            entries.append(np.int32(e))
+            lv = int(s.levels[e]) if s.entry_slot >= 0 else 0
+            entry_levels.append(np.int32(max(lv, 0)))
 
         def put(stack, spec):
             return jax.device_put(np.stack(stack), NamedSharding(self.mesh, spec))
@@ -341,15 +334,10 @@ class ShardedHNSWIndex:
             "sq_norms": put(norms, P("shard", None)),
             "deleted": put(deleted, P("shard", None)),
             "neighbors0": put(nbrs0, P("shard", None, None)),
-            "upper_nbrs": tuple(
-                put(upper_nbrs[l], P("shard", None, None))
-                for l in reversed(range(max_upper))
-            ),
-            "upper_rows": tuple(
-                put(upper_rows[l], P("shard", None))
-                for l in reversed(range(max_upper))
-            ),
-            "entry": put([np.int32(e) for e in entries], P("shard")),
+            "up_nbrs_cat": put(cats, P("shard", None, None)),
+            "up_rows_flat": put(rowmaps, P("shard", None)),
+            "entry": put(entries, P("shard")),
+            "entry_level": put(entry_levels, P("shard")),
         }
         self._synced_versions = versions
 
@@ -368,8 +356,8 @@ class ShardedHNSWIndex:
         d, gs = _fused_sharded_search(
             jnp.asarray(queries),
             a["vectors"], a["sq_norms"], a["deleted"], a["neighbors0"],
-            a["upper_nbrs"], a["upper_rows"], a["entry"],
-            metric=int(self.metric), ef=ef, k=k, max_steps=4 * ef + 32,
+            a["up_nbrs_cat"], a["up_rows_flat"], a["entry"], a["entry_level"],
+            metric=int(self.metric), ef=ef, k=k, max_steps=ef + 64,
             mesh=self.mesh,
         )
         d, gs = np.asarray(d), np.asarray(gs)

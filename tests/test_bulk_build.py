@@ -104,9 +104,8 @@ class TestChunkedBuild:
         fresh.sync(idx.store)
 
         a, b = incremental.graph.arrays, fresh.graph.arrays
-        for key in ("vectors", "sq_norms", "deleted", "neighbors0"):
+        for key in (
+            "vectors", "sq_norms", "deleted", "neighbors0",
+            "up_nbrs_cat", "up_rows_flat",
+        ):
             np.testing.assert_array_equal(np.asarray(a[key]), np.asarray(b[key]), key)
-        for x, y in zip(a["upper_nbrs"], b["upper_nbrs"]):
-            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
-        for x, y in zip(a["upper_rows"], b["upper_rows"]):
-            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

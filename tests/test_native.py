@@ -84,5 +84,9 @@ class TestNative:
         np.testing.assert_array_equal(
             np.asarray(a["neighbors0"]), np.asarray(b["neighbors0"])
         )
-        for x, y in zip(a["upper_nbrs"], b["upper_nbrs"]):
-            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        np.testing.assert_array_equal(
+            np.asarray(a["up_nbrs_cat"]), np.asarray(b["up_nbrs_cat"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a["up_rows_flat"]), np.asarray(b["up_rows_flat"])
+        )
