@@ -36,8 +36,10 @@ from scintirete_tpu.types import (
 
 
 class Collection:
-    def __init__(self, config: CollectionConfig, use_device: bool = True):
+    def __init__(self, config: CollectionConfig, use_device: bool = True,
+                 tpu_config=None):
         config.validate()
+        self._tpu = tpu_config
         self.config = config
         self.name = config.name
         self._lock = threading.RLock()
@@ -55,12 +57,19 @@ class Collection:
     def _ensure_index(self, dim: int) -> HNSWIndex:
         if self._index is None:
             self._dim = dim
+            kwargs = {}
+            if self._tpu is not None:
+                kwargs = dict(
+                    search_batch_size=self._tpu.search_batch_size,
+                    build_chunk_size=self._tpu.build_chunk_size,
+                )
             self._index = HNSWIndex(
                 dim=dim,
                 params=self.config.hnsw,
                 metric=self.config.metric,
                 device_dtype=self.config.device_dtype,
                 use_device=self._use_device,
+                **kwargs,
             )
         return self._index
 
@@ -152,12 +161,19 @@ class Collection:
             purged = self._deleted_count
             old = self._index
             live_ids = [vid for vid in old.id_to_slot if old.contains(vid)]
+            kwargs = {}
+            if self._tpu is not None:
+                kwargs = dict(
+                    search_batch_size=self._tpu.search_batch_size,
+                    build_chunk_size=self._tpu.build_chunk_size,
+                )
             new_index = HNSWIndex(
                 dim=self._dim,
                 params=self.config.hnsw,
                 metric=self.config.metric,
                 device_dtype=self.config.device_dtype,
                 use_device=self._use_device,
+                **kwargs,
             )
             if live_ids:
                 mats = np.stack([old.get_vector(vid) for vid in live_ids])
@@ -274,7 +290,8 @@ class Collection:
             return state
 
     @classmethod
-    def from_state(cls, state: dict[str, Any], use_device: bool = True) -> "Collection":
+    def from_state(cls, state: dict[str, Any], use_device: bool = True,
+                   tpu_config=None) -> "Collection":
         from scintirete_tpu.types import DistanceMetric, HNSWParams
 
         cfg_data = state["config"]
@@ -284,7 +301,7 @@ class Collection:
             hnsw=HNSWParams(**cfg_data["hnsw"]),
             device_dtype=cfg_data.get("device_dtype", "float32"),
         )
-        col = cls(config, use_device=use_device)
+        col = cls(config, use_device=use_device, tpu_config=tpu_config)
         graph = state.get("graph")
         if graph is not None:
             col._index = HNSWIndex.import_graph_state(

@@ -63,8 +63,9 @@ def make_command(
 class Database:
     """Named container of collections (reference: database.go:173-269)."""
 
-    def __init__(self, name: str, use_device: bool = True):
+    def __init__(self, name: str, use_device: bool = True, tpu_config=None):
         self.name = name
+        self._tpu = tpu_config
         self._collections: dict[str, Collection] = {}
         self._lock = threading.RLock()
         self.created_at = time.time()
@@ -79,7 +80,9 @@ class Database:
             self._touch()
             if config.name in self._collections:
                 raise collection_exists(config.name)
-            col = Collection(config, use_device=self._use_device)
+            col = Collection(
+                config, use_device=self._use_device, tpu_config=self._tpu
+            )
             self._collections[config.name] = col
             return col
 
@@ -120,10 +123,11 @@ class Database:
 class Engine:
     """Top-level registry of databases + the persistence bridge."""
 
-    def __init__(self, use_device: bool = True):
+    def __init__(self, use_device: bool = True, tpu_config=None):
         self._databases: dict[str, Database] = {}
         self._lock = threading.RLock()
         self._use_device = use_device
+        self._tpu = tpu_config
 
     # ----- database management -----
 
@@ -135,7 +139,9 @@ class Engine:
         with self._lock:
             if name in self._databases:
                 raise db_exists(name)
-            db = Database(name, use_device=self._use_device)
+            db = Database(
+                name, use_device=self._use_device, tpu_config=self._tpu
+            )
             self._databases[name] = db
             return db
 
@@ -214,11 +220,15 @@ class Engine:
                 )
             databases: dict[str, Database] = {}
             for name, db_state in state.get("databases", {}).items():
-                db = Database(name, use_device=self._use_device)
+                db = Database(
+                    name, use_device=self._use_device, tpu_config=self._tpu
+                )
                 db.created_at = db_state.get("created_at", time.time())
                 for col_name, col_state in db_state.get("collections", {}).items():
                     col = Collection.from_state(
-                        col_state, use_device=self._use_device
+                        col_state,
+                        use_device=self._use_device,
+                        tpu_config=self._tpu,
                     )
                     db._collections[col_name] = col
                 databases[name] = db

@@ -47,6 +47,8 @@ class HNSWIndex:
         metric: DistanceMetric = DistanceMetric.COSINE,
         device_dtype: str = "float32",
         use_device: bool = True,
+        search_batch_size: int = 256,
+        build_chunk_size: int = 512,
     ):
         params = params or HNSWParams()
         params.validate()
@@ -55,6 +57,8 @@ class HNSWIndex:
         self.slot_to_id: np.ndarray = np.zeros(self.store.cap, np.uint64)
         self.device_dtype = device_dtype
         self.use_device = use_device
+        self.search_batch_size = search_batch_size
+        self.build_chunk_size = build_chunk_size
         self._device = None  # lazy DeviceIndex
         self._lock = threading.RLock()
 
@@ -132,7 +136,10 @@ class HNSWIndex:
 
                 raise dimension_mismatch(self.store.dim, int(vectors.shape[-1]))
             device = self._get_device() if self.use_device else None
-            slots = bulk.bulk_insert(self.store, vectors, device=device)
+            slots = bulk.bulk_insert(
+                self.store, vectors, device=device,
+                chunk_size=self.build_chunk_size,
+            )
             for vid, slot in zip(ids, slots):
                 self._register_slot(int(vid), int(slot))
 
@@ -223,7 +230,9 @@ class HNSWIndex:
         from scintirete_tpu.index.device import DeviceIndex
 
         if self._device is None:
-            self._device = DeviceIndex(dtype=self.device_dtype)
+            self._device = DeviceIndex(
+                dtype=self.device_dtype, max_batch=self.search_batch_size
+            )
         return self._device
 
     def _device_search(self, queries, params):

@@ -78,7 +78,7 @@ class ScintireteService:
     ):
         self.config = config
         self.logger = logger or StructuredLogger.from_config(config.log)
-        self.engine = engine or Engine(use_device=use_device)
+        self.engine = engine or Engine(use_device=use_device, tpu_config=config.tpu)
         self.persistence = persistence or PersistenceManager(
             self.engine,
             config.persistence.data_dir,
