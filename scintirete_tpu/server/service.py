@@ -39,6 +39,7 @@ from scintirete_tpu.observability.metrics import MetricsRegistry
 from scintirete_tpu.persistence import PersistenceManager
 from scintirete_tpu.proto import scintirete_pb2 as pb
 from scintirete_tpu.server.auth import BasicAuthenticator
+from scintirete_tpu.server.batcher import SearchBatcher
 from scintirete_tpu.types import (
     CollectionConfig,
     DistanceMetric,
@@ -93,6 +94,12 @@ class ScintireteService:
         self.auth = BasicAuthenticator(config.server.passwords)
         self.audit = audit or AuditLogger(enabled=False)
         self.metrics = metrics or MetricsRegistry()
+        # coalesce concurrent single-query RPCs into one device dispatch
+        self.batcher = SearchBatcher(
+            max_batch=config.tpu.search_batch_size,
+            max_delay_ms=2.0,
+            enabled=use_device,
+        )
         self._started = False
 
     # ----- lifecycle (reference: grpc/server.go:106-130) -----
@@ -105,6 +112,7 @@ class ScintireteService:
         return result
 
     def stop(self) -> None:
+        self.batcher.stop()
         self.persistence.stop()
         self.audit.close()
         self._started = False
@@ -365,7 +373,9 @@ class ScintireteService:
                     req.include_vector if req.HasField("include_vector") else False
                 ),
             )
-            results = col.search(np.asarray(req.query_vector, np.float32), params)
+            results = self._batched_search(
+                col, np.asarray(req.query_vector, np.float32), params
+            )
             self.metrics.vector_operations_total.inc(
                 operation="search", collection=req.collection_name
             )
@@ -374,6 +384,12 @@ class ScintireteService:
             )
 
         return self._instrumented("Search", req.auth, op)
+
+    def _batched_search(self, col, query, params):
+        key = (id(col), params.top_k, params.ef_search, params.include_vector)
+        return self.batcher.submit(
+            key, query, lambda queries: col.search_batch(queries, params)
+        )
 
     def _result_item_pb(self, r, include_vector: bool) -> pb.SearchResultItem:
         item = pb.SearchResultItem(distance=r.distance, id=r.id)
@@ -450,7 +466,9 @@ class ScintireteService:
                     req.include_vector if req.HasField("include_vector") else False
                 ),
             )
-            results = col.search(np.asarray(embedding, np.float32), params)
+            results = self._batched_search(
+                col, np.asarray(embedding, np.float32), params
+            )
             return pb.SearchResponse(
                 results=[self._result_item_pb(r, params.include_vector) for r in results]
             )
