@@ -68,7 +68,10 @@ def main() -> None:
 
     idx = HNSWIndex(
         dim=DIM,
-        params=HNSWParams(m=16, ef_construction=200, ef_search=EF_SEARCH, seed=42),
+        params=HNSWParams(
+            m=16, ef_construction=200, ef_search=EF_SEARCH, seed=42,
+            neighbor_heuristic=True,  # quality edge over the reference
+        ),
         metric=DistanceMetric.COSINE,
         use_device=True,
         search_batch_size=BATCH,

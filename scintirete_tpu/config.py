@@ -73,6 +73,7 @@ class HNSWDefaults:
     m: int = 16
     ef_construction: int = 200
     ef_search: int = 50
+    neighbor_heuristic: bool = False  # reference-parity default
 
 
 @dataclasses.dataclass
@@ -175,7 +176,10 @@ class Config:
 
         hd = self.algorithm.hnsw_defaults
         return HNSWParams(
-            m=hd.m, ef_construction=hd.ef_construction, ef_search=hd.ef_search
+            m=hd.m,
+            ef_construction=hd.ef_construction,
+            ef_search=hd.ef_search,
+            neighbor_heuristic=hd.neighbor_heuristic,
         )
 
 

@@ -144,9 +144,10 @@ def _insert_chunk(
             if cs.size == 0:
                 continue
             order = np.argsort(cd, kind="stable")[:efc]
-            cs = cs[order]
+            cs, cd = cs[order], cd[order]
             max_conn = store.max_degree(lc)
-            selected = cs[:max_conn].astype(np.int32)
+            selected = host_algo.select_neighbors(store, cs, cd, max_conn)
+            selected = selected.astype(np.int32)
             store.set_neighbors(slot, lc, selected)
             for nbr in selected:
                 host_algo._add_link(store, int(nbr), slot, lc)

@@ -126,6 +126,38 @@ def greedy_descent(
     return entries
 
 
+def select_neighbors(
+    store: GraphStore,
+    cand_slots: np.ndarray,  # sorted ascending by distance to the query
+    cand_dists: np.ndarray,
+    max_conn: int,
+) -> np.ndarray:
+    """Neighbor selection. Simple nearest-M (reference: hnsw.go:560-583) or,
+    when params.neighbor_heuristic is set, the diversity heuristic: keep a
+    candidate only if it is closer to the query than to every already-kept
+    neighbor, then fill remaining slots from the pruned set."""
+    if not store.params.neighbor_heuristic or len(cand_slots) <= max_conn:
+        return cand_slots[:max_conn]
+    selected: list[int] = []
+    pruned: list[int] = []
+    for slot, d in zip(cand_slots, cand_dists):
+        if len(selected) == max_conn:
+            break
+        if selected:
+            d_sel = _distances(
+                store, store.vectors[int(slot)], np.asarray(selected, np.int64)
+            )
+            if (d_sel <= d).any():  # closer to a kept neighbor than to q
+                pruned.append(int(slot))
+                continue
+        selected.append(int(slot))
+    for slot in pruned:  # keepPrunedConnections: fill remaining slots
+        if len(selected) == max_conn:
+            break
+        selected.append(slot)
+    return np.asarray(selected, dtype=cand_slots.dtype)
+
+
 def insert(store: GraphStore, vector: np.ndarray, level: int | None = None) -> int:
     """Insert one vector; returns its slot. Sequential reference semantics."""
     if level is None:
@@ -146,7 +178,7 @@ def insert(store: GraphStore, vector: np.ndarray, level: int | None = None) -> i
             store, q, entries, store.params.ef_construction, lc
         )
         max_conn = store.max_degree(lc)
-        selected = cand_slots[:max_conn]  # simple selectNeighbors: nearest-M
+        selected = select_neighbors(store, cand_slots, cand_dists, max_conn)
         store.set_neighbors(slot, lc, selected.astype(np.int32))
         for nbr in selected:
             _add_link(store, int(nbr), slot, lc)
@@ -170,8 +202,11 @@ def _add_link(store: GraphStore, from_slot: int, to_slot: int, layer: int) -> No
     if nbrs.size > max_conn:
         live = nbrs[~store.deleted[nbrs]]
         d = _distances(store, store.vectors[from_slot], live)
-        order = np.argsort(d, kind="stable")[:max_conn]
-        nbrs = live[order]
+        order = np.argsort(d, kind="stable")
+        if store.params.neighbor_heuristic:
+            nbrs = select_neighbors(store, live[order], d[order], max_conn)
+        else:
+            nbrs = live[order[:max_conn]]
     store.set_neighbors(from_slot, layer, nbrs.astype(np.int32))
 
 

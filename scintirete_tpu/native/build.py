@@ -120,6 +120,7 @@ def apply_chunk_native(
         ctypes.c_int32(store.m),
         _ptr(deleted_u8, ctypes.c_uint8),
         ctypes.c_int32(int(store.metric)),
+        ctypes.c_int32(1 if store.params.neighbor_heuristic else 0),
         _ptr(cand_slots, ctypes.c_int32),
         _ptr(cand_dists, ctypes.c_float),
         ctypes.c_int32(cand_slots.shape[0] if cand_slots.size else 0),

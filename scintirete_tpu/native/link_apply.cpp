@@ -43,11 +43,21 @@ struct Ctx {
     int32_t m;
     const uint8_t* deleted;
     int32_t metric;
+    bool heuristic;          // diversity-aware neighbor selection
     int32_t* dirty_out;      // [max_dirty, 2] (layer, row)
     int64_t max_dirty;
     int64_t n_dirty;
     bool dirty_overflow;
 };
+
+// Diversity heuristic selection over distance-sorted candidates (relative
+// to some query point `q_slot_dist` already encoded in the pair distances):
+// keep a candidate only if it is closer to the query than to every kept
+// neighbor; fill remaining slots from the pruned set. `items` must be
+// sorted ascending. Writes at most max_conn entries into `out`.
+size_t select_diverse(const Ctx& c,
+                      const std::vector<std::pair<float, int32_t>>& items,
+                      int32_t max_conn, int32_t* out);
 
 inline float distance(const Ctx& c, int64_t a, int64_t b) {
     const float* va = c.vectors + a * c.dim;
@@ -73,6 +83,33 @@ inline float distance(const Ctx& c, int64_t a, int64_t b) {
         default:
             return static_cast<float>(-dot);
     }
+}
+
+size_t select_diverse(const Ctx& c,
+                      const std::vector<std::pair<float, int32_t>>& items,
+                      int32_t max_conn, int32_t* out) {
+    size_t n_sel = 0;
+    std::vector<int32_t> pruned;
+    for (const auto& [d, slot] : items) {
+        if (n_sel == static_cast<size_t>(max_conn)) break;
+        bool keep = true;
+        for (size_t j = 0; j < n_sel; ++j) {
+            if (distance(c, slot, out[j]) <= d) {
+                keep = false;
+                break;
+            }
+        }
+        if (keep) {
+            out[n_sel++] = slot;
+        } else {
+            pruned.push_back(slot);
+        }
+    }
+    for (const int32_t slot : pruned) {  // keepPrunedConnections fill
+        if (n_sel == static_cast<size_t>(max_conn)) break;
+        out[n_sel++] = slot;
+    }
+    return n_sel;
 }
 
 inline void mark_dirty(Ctx& c, int32_t layer, int32_t row) {
@@ -115,7 +152,7 @@ void add_link(Ctx& c, int64_t from, int64_t to, int32_t layer) {
         mark_dirty(c, layer, row);
         return;
     }
-    // overfull: keep the max_conn closest live neighbors of `from`
+    // overfull: re-select the best max_conn live neighbors of `from`
     std::vector<std::pair<float, int32_t>> items;
     items.reserve(count + 1);
     for (int32_t i = 0; i < count; ++i) {
@@ -126,10 +163,14 @@ void add_link(Ctx& c, int64_t from, int64_t to, int32_t layer) {
     if (!c.deleted[to]) {
         items.emplace_back(distance(c, from, to), static_cast<int32_t>(to));
     }
-    const size_t keep = std::min<size_t>(max_conn, items.size());
-    std::partial_sort(
-        items.begin(), items.begin() + keep, items.end());
-    for (size_t i = 0; i < keep; ++i) nbrs[i] = items[i].second;
+    std::sort(items.begin(), items.end());
+    size_t keep;
+    if (c.heuristic) {
+        keep = select_diverse(c, items, max_conn, nbrs);
+    } else {
+        keep = std::min<size_t>(max_conn, items.size());
+        for (size_t i = 0; i < keep; ++i) nbrs[i] = items[i].second;
+    }
     for (size_t i = keep; i < static_cast<size_t>(max_conn); ++i) nbrs[i] = -1;
     mark_dirty(c, layer, row);
 }
@@ -146,6 +187,7 @@ int32_t apply_chunk(
     int32_t n_layers, int32_t** layer_nbrs, int32_t** layer_rowof, int32_t m,
     const uint8_t* deleted,
     int32_t metric,
+    int32_t heuristic,
     // device descent results: [n_cand_layers, B, efc]
     const int32_t* cand_slots, const float* cand_dists,
     int32_t n_cand_layers, int32_t B, int32_t efc,
@@ -159,7 +201,7 @@ int32_t apply_chunk(
     int32_t* dirty_out, int64_t max_dirty, int64_t* n_dirty_out) {
     Ctx c{vectors, cap, dim, neighbors0, m0, n_layers,
           layer_nbrs, layer_rowof, m, deleted, metric,
-          dirty_out, max_dirty, 0, false};
+          heuristic != 0, dirty_out, max_dirty, 0, false};
 
     std::vector<std::pair<float, int32_t>> merged;
     std::vector<int32_t> selected;
@@ -190,13 +232,18 @@ int32_t apply_chunk(
             }
             if (merged.empty()) continue;
             const int32_t max_conn = (lc == 0) ? m0 : m;
-            const size_t keep =
-                std::min<size_t>(max_conn, merged.size());
-            std::partial_sort(merged.begin(), merged.begin() + keep,
-                              merged.end());
+            std::sort(merged.begin(), merged.end());
             selected.clear();
-            for (size_t j = 0; j < keep; ++j)
-                selected.push_back(merged[j].second);
+            if (c.heuristic) {
+                selected.resize(max_conn);
+                selected.resize(
+                    select_diverse(c, merged, max_conn, selected.data()));
+            } else {
+                const size_t keep =
+                    std::min<size_t>(max_conn, merged.size());
+                for (size_t j = 0; j < keep; ++j)
+                    selected.push_back(merged[j].second);
+            }
             // forward links
             int32_t row;
             int32_t* nbrs = adj_row(c, slot, lc, &row);

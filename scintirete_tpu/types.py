@@ -68,6 +68,14 @@ class HNSWParams:
     ef_search: int = DEFAULT_EF_SEARCH
     max_layers: int = DEFAULT_MAX_LAYERS
     seed: Optional[int] = None
+    # Diversity-aware neighbor selection (Malkov Alg. 4: keep a candidate
+    # only if it is closer to the query than to any already-kept neighbor,
+    # then fill remaining slots from the pruned set). The reference uses
+    # only the simple nearest-M rule (hnsw.go:560-583), which fragments
+    # clustered data into unreachable islands; False preserves reference
+    # behavior exactly, True trades a little build time for much better
+    # recall on real datasets.
+    neighbor_heuristic: bool = False
 
     def resolved_seed(self) -> int:
         if self.seed is not None:
