@@ -57,46 +57,64 @@ def bulk_insert(
     for i in range(boot):
         slots.append(host_algo.insert(store, vectors[i], int(levels[i])))
 
+    # Pipelined chunks: the descent for chunk t+1 dispatches (async) BEFORE
+    # chunk t's links apply on the host, overlapping device traversal with
+    # host/C++ link application. Chunk t+1 therefore descends a graph that
+    # is stale by one extra chunk — the same approximation the chunking
+    # already makes, checked by the recall gates.
     pos = boot
-    while pos < n:
-        # early chunks stay small relative to the graph to bound staleness
-        step = min(chunk_size, max(128, store.live))
-        chunk = vectors[pos : pos + step]
-        chunk_levels = levels[pos : pos + step]
-        slots.extend(_insert_chunk(store, device, chunk, chunk_levels, chunk_size))
-        pos += len(chunk)
+    pending = None
+    while pos < n or pending is not None:
+        dispatched = None
+        if pos < n:
+            # early chunks stay small relative to the graph to bound staleness
+            step = min(chunk_size, max(128, store.live))
+            chunk = vectors[pos : pos + step]
+            chunk_levels = levels[pos : pos + step]
+            dispatched = _dispatch_chunk(
+                store, device, chunk, chunk_levels, chunk_size
+            )
+            pos += step
+        if pending is not None:
+            slots.extend(_apply_chunk(store, device, *pending))
+        pending = dispatched
     return slots
 
 
-def _insert_chunk(
-    store: GraphStore,
-    device,
-    chunk: np.ndarray,  # [B, D]
-    levels: np.ndarray,  # [B]
-    pad_to: int,
-) -> list[int]:
+def _dispatch_chunk(store, device, chunk, levels, pad_to):
+    """Allocate slots + start the device descent (non-blocking)."""
     B = len(chunk)
-    frozen_max = store.max_layer  # descent sees the pre-chunk graph
+    frozen_max = store.max_layer  # descent sees the pre-dispatch graph
     efc = max(store.params.ef_construction, store.m0)
-
-    # 1. allocate slots (new slots are unreachable until linked, so syncing
-    #    them before the descent is safe)
+    # new slots are unreachable until linked, so syncing them before the
+    # descent is safe
     new_slots = np.array(
         [store.alloc_slot(chunk[i], int(levels[i])) for i in range(B)],
         dtype=np.int64,
     )
-
-    # 2. frozen-graph descent on device (queries padded to a stable batch)
     q = chunk
     lv = levels.astype(np.int32)
     if B < pad_to:
         q = np.concatenate([q, np.repeat(chunk[:1], pad_to - B, axis=0)])
         lv = np.concatenate([lv, np.zeros(pad_to - B, np.int32)])
-    cand_slots, cand_dists = device.build_descent(store, q, lv, efc)
-    # cand_slots: [L+1, B, efc], layer-l candidates as node slots
+    raw = device.build_descent_raw(store, q, lv, efc)
+    return chunk, levels, new_slots, raw, frozen_max, efc
 
-    # 3. link application in chunk order: native C++ engine when available
-    intra = distance_np(chunk, chunk, store.metric)  # [B, B] exact distances
+
+def _apply_chunk(
+    store: GraphStore,
+    device,
+    chunk: np.ndarray,  # [B, D]
+    levels: np.ndarray,  # [B]
+    new_slots: np.ndarray,
+    raw,
+    frozen_max: int,
+    efc: int,
+) -> list[int]:
+    B = len(chunk)
+    # intra-chunk exact distances computed host-side while the device works
+    intra = distance_np(chunk, chunk, store.metric)  # [B, B]
+    cand_slots, cand_dists = device.assemble_descent(raw, efc)
     cand_slots = cand_slots[:, :B]
     cand_dists = cand_dists[:, :B]
     from scintirete_tpu.native.build import apply_chunk_native

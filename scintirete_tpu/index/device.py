@@ -633,17 +633,16 @@ class DeviceIndex:
             out_slots[start : start + n] = np.asarray(s)[:n]
         return out_slots, out_dists
 
-    def build_descent(
+    def build_descent_raw(
         self,
         store: GraphStore,
         queries: np.ndarray,  # [B, D]
         levels: np.ndarray,  # [B]
         efc: int,
         max_steps: int | None = None,
-    ) -> tuple[np.ndarray, np.ndarray]:
-        """Descent for a chunk of new vectors against the frozen synced graph.
-        Returns (slots [L+1, B, efc-padded], dists) — upper layers occupy the
-        first ef_upper columns, the ground layer the full efc."""
+    ):
+        """Dispatch the descent (ASYNC — returns device arrays immediately,
+        letting the caller overlap host work with device compute)."""
         self.sync(store)
         a = self.graph.arrays
         ef_upper = min(efc, max(2 * store.m, 32))
@@ -651,7 +650,7 @@ class DeviceIndex:
             # every query pays ~(ef / expand) steps per layer it collects at
             max_steps = (len(store.layers) + 2) * (ef_upper + 64) + efc
         entry, entry_level = self._entry_info(store)
-        u_s, u_d, g_s, g_d = _build_descent_kernel(
+        return _build_descent_kernel(
             jnp.asarray(queries, jnp.float32),
             jnp.asarray(levels, jnp.int32),
             a["vectors"],
@@ -669,8 +668,13 @@ class DeviceIndex:
             n_layers=len(store.layers),
             max_steps=max_steps,
         )
-        u_s, u_d = np.asarray(u_s), np.asarray(u_d)
-        g_s, g_d = np.asarray(g_s), np.asarray(g_d)
+
+    @staticmethod
+    def assemble_descent(raw, efc: int) -> tuple[np.ndarray, np.ndarray]:
+        """Materialize a build_descent_raw result (blocks on the device) into
+        unified (slots [L+1, B, efc], dists) arrays — upper layers occupy the
+        first ef_upper columns, the ground layer the full efc."""
+        u_s, u_d, g_s, g_d = (np.asarray(x) for x in raw)
         L1, B = u_s.shape[0], u_s.shape[1]
         slots = np.full((L1, B, efc), -1, np.int32)
         dists = np.full((L1, B, efc), np.inf, np.float32)
@@ -679,3 +683,15 @@ class DeviceIndex:
         slots[0] = g_s
         dists[0] = g_d
         return slots, dists
+
+    def build_descent(
+        self,
+        store: GraphStore,
+        queries: np.ndarray,
+        levels: np.ndarray,
+        efc: int,
+        max_steps: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Synchronous descent (dispatch + materialize)."""
+        raw = self.build_descent_raw(store, queries, levels, efc, max_steps)
+        return self.assemble_descent(raw, efc)
