@@ -60,7 +60,11 @@ _IP = int(DistanceMetric.INNER_PRODUCT)
 
 _INF = jnp.float32(jnp.inf)
 
-DEFAULT_EXPAND = 8
+# candidates expanded per beam step. Search uses 4 (thin fast steps win at
+# serving batch sizes); the build beams use 8 (fewer, fatter steps suit the
+# long-running build). Measured on v5e, see docs/architecture.md.
+SEARCH_EXPAND = 4
+BUILD_EXPAND = 8
 
 
 # ---------------------------------------------------------------------------
@@ -185,12 +189,12 @@ def _beam_step(
     all_d = jnp.concatenate([cand_d, d], axis=1)
     all_s = jnp.concatenate([cand_s, jnp.where(usable, nbrs, -1)], axis=1)
     all_e = jnp.concatenate([expanded, jnp.zeros((B, K), bool)], axis=1)
-    top_negd, sel = jax.lax.top_k(-all_d, ef)
-    return (
-        jnp.take_along_axis(all_s, sel, axis=1),
-        -top_negd,
-        jnp.take_along_axis(all_e, sel, axis=1),
-    )
+    # merge: ONE joint sort with the (slot, expanded) payload packed into an
+    # int32 — measurably cheaper than top_k + two take_along_axis gathers
+    packed = (all_s << 1) | all_e.astype(jnp.int32)
+    sorted_d, sorted_p = jax.lax.sort((all_d, packed), num_keys=1)
+    sorted_d, sorted_p = sorted_d[:, :ef], sorted_p[:, :ef]
+    return sorted_p >> 1, sorted_d, (sorted_p & 1).astype(bool)
 
 
 def _beam_converged(cand_s, cand_d, expanded):
@@ -202,7 +206,7 @@ def _beam_converged(cand_s, cand_d, expanded):
 
 def _ef_beam_layer0(
     dist_to, neighbors0, deleted, entry_slots, entry_dists, ef, max_steps,
-    expand=DEFAULT_EXPAND,
+    expand=SEARCH_EXPAND,
 ):
     """Layer-0 ef-beam. Entries [B, E]; returns sorted (slots, dists, steps)."""
     B, E = entry_slots.shape
@@ -316,7 +320,7 @@ def _build_descent_kernel(
     B = queries.shape[0]
     cap = vectors.shape[0]
     L = n_layers
-    expand = min(DEFAULT_EXPAND, ef_upper)
+    expand = min(BUILD_EXPAND, ef_upper)
     dist_to = _make_dist_fn(queries, vectors, sq_norms, metric)
 
     # phase 1: greedy descent to each query's own start layer
@@ -391,7 +395,7 @@ def _build_descent_kernel(
         dist_to, neighbors0, deleted,
         jnp.where(jnp.arange(ef_upper)[None, :] < m, cand_s, -1),
         jnp.where(jnp.arange(ef_upper)[None, :] < m, cand_d, _INF),
-        efc, max_steps,
+        efc, max_steps, expand=BUILD_EXPAND,
     )
     return (
         jnp.where(jnp.isinf(out_d), -1, out_s),
@@ -606,6 +610,10 @@ class DeviceIndex:
         out_dists = np.empty((B, k), np.float32)
         a = self.graph.arrays
         entry, entry_level = self._entry_info(store)
+        # dispatch every sub-batch first (jax dispatch is async), then
+        # materialize — sub-batches pipeline through the device instead of
+        # paying a full dispatch+transfer round trip each
+        in_flight = []
         for start in range(0, B, self.max_batch):
             chunk = queries[start : start + self.max_batch]
             n = chunk.shape[0]
@@ -629,6 +637,8 @@ class DeviceIndex:
                 k=k,
                 max_steps=max_steps,
             )
+            in_flight.append((start, n, d, s))
+        for start, n, d, s in in_flight:
             out_dists[start : start + n] = np.asarray(d)[:n]
             out_slots[start : start + n] = np.asarray(s)[:n]
         return out_slots, out_dists
