@@ -88,11 +88,9 @@ def main() -> None:
     idx.search_batch(queries[:BATCH], params)
     log(f"first batch (compile+run): {time.time() - t0:.1f}s")
 
-    # timed run
+    # timed run: one call; the device index pipelines the sub-batches
     t0 = time.time()
-    results = []
-    for start in range(0, N_QUERIES, BATCH):
-        results.extend(idx.search_batch(queries[start : start + BATCH], params))
+    results = idx.search_batch(queries, params)
     elapsed = time.time() - t0
     qps = N_QUERIES / elapsed
     log(f"search: {N_QUERIES} queries in {elapsed:.3f}s -> {qps:.0f} QPS")
