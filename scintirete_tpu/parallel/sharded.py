@@ -31,7 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from scintirete_tpu.index.device import _search_kernel
 from scintirete_tpu.index.hnsw import HNSWIndex
-from scintirete_tpu.ops.distance import pairwise_distance, preprocess_norms
+from scintirete_tpu.ops.distance import pairwise_distance
 from scintirete_tpu.types import DistanceMetric, HNSWParams, SearchParams
 
 
@@ -150,8 +150,6 @@ class ShardedFlatIndex:
             metric=int(self.metric), k=k, mesh=self.mesh,
         )
         d, i = np.asarray(d)[:B], np.asarray(i)[:B]
-        if self.metric == DistanceMetric.L2:
-            pass  # pairwise_distance already returns sqrt'ed L2
         out = []
         for b in range(B):
             row = []
