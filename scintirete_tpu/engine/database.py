@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import threading
 import time
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 from scintirete_tpu.engine.collection import Collection
 from scintirete_tpu.errors import (

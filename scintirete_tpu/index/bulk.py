@@ -24,8 +24,6 @@ semantics oracle and the replay path).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from scintirete_tpu.index import host_algo

@@ -22,7 +22,7 @@ from __future__ import annotations
 import os
 import threading
 import time
-from typing import Any, Optional
+from typing import Any
 
 from scintirete_tpu.engine.database import (
     CMD_CREATE_COLLECTION,

@@ -12,8 +12,6 @@ RESOURCE_EXHAUSTED, else INTERNAL).
 from __future__ import annotations
 
 from concurrent import futures
-from typing import Optional
-
 import grpc
 
 from scintirete_tpu.errors import ErrorCode, ScintireteError
