@@ -86,10 +86,7 @@ def _dispatch_chunk(store, device, chunk, levels, pad_to):
     efc = max(store.params.ef_construction, store.m0)
     # new slots are unreachable until linked, so syncing them before the
     # descent is safe
-    new_slots = np.array(
-        [store.alloc_slot(chunk[i], int(levels[i])) for i in range(B)],
-        dtype=np.int64,
-    )
+    new_slots = store.alloc_slots(chunk, levels.astype(np.int32))
     q = chunk
     lv = levels.astype(np.int32)
     if B < pad_to:

@@ -138,10 +138,13 @@ def select_neighbors(
     neighbor, then fill remaining slots from the pruned set."""
     if not store.params.neighbor_heuristic or len(cand_slots) <= max_conn:
         return cand_slots[:max_conn]
+    scan_cap = 128  # matches the native engine's kHeuristicScanCap
     selected: list[int] = []
     pruned: list[int] = []
-    for slot, d in zip(cand_slots, cand_dists):
-        if len(selected) == max_conn:
+    fill_from = len(cand_slots)
+    for idx, (slot, d) in enumerate(zip(cand_slots, cand_dists)):
+        if len(selected) == max_conn or idx >= scan_cap:
+            fill_from = idx
             break
         if selected:
             d_sel = _distances(
@@ -155,6 +158,10 @@ def select_neighbors(
         if len(selected) == max_conn:
             break
         selected.append(slot)
+    for slot in cand_slots[fill_from:]:
+        if len(selected) == max_conn:
+            break
+        selected.append(int(slot))
     return np.asarray(selected, dtype=cand_slots.dtype)
 
 

@@ -174,6 +174,34 @@ class GraphStore:
                 ls.node_slot = _grow_to(ls.node_slot, new_cap, -1)
                 ls.nbrs = _grow_to(ls.nbrs, new_cap, -1)
 
+    def alloc_slots(self, vectors: np.ndarray, levels: np.ndarray) -> np.ndarray:
+        """Vectorized slot allocation for a whole chunk (capacity must have
+        been reserved). Returns the new slots in order."""
+        n = len(vectors)
+        assert self.count + n <= self.cap, "reserve() before alloc_slots()"
+        slots = np.arange(self.count, self.count + n, dtype=np.int64)
+        self.vectors[slots] = vectors
+        self.levels[slots] = levels
+        if self._dirty is not None:
+            self._dirty["vectors"].update(slots.tolist())
+        max_level = int(np.max(levels, initial=0))
+        for l in range(1, max_level + 1):
+            sel = slots[levels >= l]
+            if sel.size == 0:
+                continue
+            ls = self.layers[l - 1]
+            assert ls.count + sel.size <= ls.cap, "layer capacity not reserved"
+            rows = np.arange(ls.count, ls.count + sel.size, dtype=np.int32)
+            ls.node_slot[rows] = sel
+            ls.row_of[sel] = rows
+            ls.count += sel.size
+            if self._dirty is not None:
+                self._dirty["layer_rows"].setdefault(l, set()).update(sel.tolist())
+        self.count += n
+        self.live += n
+        self.version += 1
+        return slots
+
     def alloc_slot(self, vector: np.ndarray, level: int) -> int:
         if self.count == self.cap:
             self._grow()

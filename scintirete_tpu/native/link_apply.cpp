@@ -60,38 +60,62 @@ size_t select_diverse(const Ctx& c,
                       int32_t max_conn, int32_t* out);
 
 inline float distance(const Ctx& c, int64_t a, int64_t b) {
-    const float* va = c.vectors + a * c.dim;
-    const float* vb = c.vectors + b * c.dim;
-    double dot = 0.0, na = 0.0, nb = 0.0;
-    for (int64_t i = 0; i < c.dim; ++i) {
-        const double x = va[i], y = vb[i];
-        dot += x * y;
-        na += x * x;
-        nb += y * y;
+    const float* __restrict va = c.vectors + a * c.dim;
+    const float* __restrict vb = c.vectors + b * c.dim;
+    // four float accumulators -> the compiler vectorizes this loop
+    // (a double accumulator would serialize it)
+    float dot0 = 0, dot1 = 0, na0 = 0, na1 = 0, nb0 = 0, nb1 = 0;
+    int64_t i = 0;
+    for (; i + 2 <= c.dim; i += 2) {
+        dot0 += va[i] * vb[i];
+        dot1 += va[i + 1] * vb[i + 1];
+        na0 += va[i] * va[i];
+        na1 += va[i + 1] * va[i + 1];
+        nb0 += vb[i] * vb[i];
+        nb1 += vb[i + 1] * vb[i + 1];
     }
+    for (; i < c.dim; ++i) {
+        dot0 += va[i] * vb[i];
+        na0 += va[i] * va[i];
+        nb0 += vb[i] * vb[i];
+    }
+    const float dot = dot0 + dot1, na = na0 + na1, nb = nb0 + nb1;
     switch (c.metric) {
         case L2: {
-            double d2 = na + nb - 2.0 * dot;
-            return static_cast<float>(std::sqrt(d2 > 0.0 ? d2 : 0.0));
+            const float d2 = na + nb - 2.0f * dot;
+            return std::sqrt(d2 > 0.0f ? d2 : 0.0f);
         }
         case COSINE: {
-            if (na <= 1e-30 || nb <= 1e-30) return 1.0f;
-            double cosv = dot / (std::sqrt(na) * std::sqrt(nb));
-            cosv = std::min(1.0, std::max(-1.0, cosv));
-            return static_cast<float>(1.0 - cosv);
+            if (na <= 1e-30f || nb <= 1e-30f) return 1.0f;
+            float cosv = dot / (std::sqrt(na) * std::sqrt(nb));
+            cosv = std::min(1.0f, std::max(-1.0f, cosv));
+            return 1.0f - cosv;
         }
         default:
-            return static_cast<float>(-dot);
+            return -dot;
     }
 }
+
+// the diversity heuristic scans at most this many sorted candidates before
+// topping up from the pruned set — bounds the O(scan x kept) distance work
+// with negligible quality impact (the tail would be fill anyway)
+constexpr int32_t kHeuristicScanCap = 128;
 
 size_t select_diverse(const Ctx& c,
                       const std::vector<std::pair<float, int32_t>>& items,
                       int32_t max_conn, int32_t* out) {
     size_t n_sel = 0;
     std::vector<int32_t> pruned;
-    for (const auto& [d, slot] : items) {
-        if (n_sel == static_cast<size_t>(max_conn)) break;
+    size_t scanned = 0;
+    size_t fill_from = items.size();
+    for (size_t idx = 0; idx < items.size(); ++idx) {
+        const auto& [d, slot] = items[idx];
+        if (n_sel == static_cast<size_t>(max_conn) ||
+            scanned >= static_cast<size_t>(kHeuristicScanCap)) {
+            fill_from = idx;
+            break;
+        }
+        ++scanned;
         bool keep = true;
         for (size_t j = 0; j < n_sel; ++j) {
             if (distance(c, slot, out[j]) <= d) {
@@ -108,6 +132,10 @@ size_t select_diverse(const Ctx& c,
     for (const int32_t slot : pruned) {  // keepPrunedConnections fill
         if (n_sel == static_cast<size_t>(max_conn)) break;
         out[n_sel++] = slot;
+    }
+    for (size_t idx = fill_from;
+         idx < items.size() && n_sel < static_cast<size_t>(max_conn); ++idx) {
+        out[n_sel++] = items[idx].second;
     }
     return n_sel;
 }
