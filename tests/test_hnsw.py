@@ -335,3 +335,26 @@ class TestBulkInsert:
         idx.insert(3, rng.standard_normal(16).astype(np.float32))
         with pytest.raises(ScintireteError):
             idx.bulk_insert([2, 3], rng.standard_normal((2, 16)).astype(np.float32))
+
+
+class TestBfloat16Storage:
+    def test_bf16_collection_recall(self, rng):
+        n, dim, k = 400, 32, 10
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        idx = HNSWIndex(
+            dim=dim,
+            params=HNSWParams(m=8, ef_construction=80, ef_search=60, seed=4),
+            metric=DistanceMetric.COSINE,
+            device_dtype="bfloat16",
+            use_device=True,
+        )
+        idx.bulk_insert(list(range(1, n + 1)), vecs)
+        by_id = {i + 1: vecs[i] for i in range(n)}
+        hits = total = 0
+        queries = rng.standard_normal((10, dim)).astype(np.float32)
+        for q in queries:
+            want, _ = brute_topk(by_id, q, DistanceMetric.COSINE, k)
+            got = [r[0] for r in idx.search(q, SearchParams(top_k=k))]
+            hits += len(set(want) & set(got))
+            total += k
+        assert hits / total >= 0.85  # small bf16 rounding loss allowed
