@@ -71,3 +71,47 @@ class TestCLI:
         cli.execute("use db")
         with pytest.raises(ValueError, match="metric"):
             cli.execute("collection create c HAMMING")
+
+
+@pytest.fixture
+def cli_with_embedding(tmp_path):
+    from tests.test_api import FakeEmbeddingServer
+    from scintirete_tpu.config import EmbeddingModel
+
+    fake = FakeEmbeddingServer()
+    cfg = Config()
+    cfg.server.passwords = [PASSWORD]
+    cfg.persistence.data_dir = str(tmp_path / "data")
+    cfg.embedding.base_url = fake.url
+    cfg.embedding.api_key = "k"
+    cfg.embedding.default_model = "fake-model"
+    cfg.embedding.models = [
+        EmbeddingModel(id="fake-model", name="Fake", dimension=8, available=True)
+    ]
+    svc = ScintireteService(cfg, use_device=False)
+    svc.start()
+    server = GrpcServer(svc, port=0)
+    server.start()
+    client = GrpcClient(f"127.0.0.1:{server.port}", timeout=10)
+    yield CLI(client, PASSWORD)
+    client.close()
+    server.stop()
+    svc.stop()
+    fake.stop()
+
+
+class TestCLIText:
+    def test_text_models(self, cli_with_embedding):
+        out = cli_with_embedding.execute("text models")
+        assert "fake-model" in out
+        assert "default: fake-model" in out
+
+    def test_text_insert_and_search(self, cli_with_embedding):
+        cli = cli_with_embedding
+        cli.execute("database create db")
+        cli.execute("use db")
+        cli.execute("collection create docs COSINE")
+        out = cli.execute("text insert docs 'hello world' '{\"lang\": \"en\"}'")
+        assert "inserted id=1" in out
+        out = cli.execute("text search docs 'hello world' 1")
+        assert "id=1" in out and '"lang": "en"' in out
