@@ -245,8 +245,70 @@ def _ef_beam_layer0(
 
 
 # ---------------------------------------------------------------------------
-# search kernel
+# search kernels
 # ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "ef", "k", "max_steps"))
+def _search_kernel_pivot(
+    queries,  # [B, D] f32
+    vectors,  # [cap, D]
+    sq_norms,  # [cap] f32
+    deleted,  # [cap] bool
+    neighbors0,  # [cap, 2M] i32
+    pivots,  # [R] i32 — sampled live slots
+    pivot_vecs,  # [R, D]
+    pivot_sq,  # [R] f32
+    metric: int,
+    ef: int,
+    k: int,
+    max_steps: int,
+):
+    """TPU-first entry: ONE matmul against R sampled pivots replaces the
+    upper-layer greedy descent (a pointer-chase of ~layers x moves serialized
+    iterations). The true nearest pivot is a better entry than the descent's
+    local optimum, and the MXU computes all B x R distances in one shot.
+    Parity note: result distances and candidate semantics are unchanged —
+    only the entry point selection differs (the reference's descent is kept
+    as the `descent` entry mode and remains the build path)."""
+    B = queries.shape[0]
+    q32 = queries.astype(jnp.float32)
+    q_sq = jnp.sum(q32 * q32, axis=-1)
+    q_norm = jnp.sqrt(q_sq)
+    dist_to = _make_dist_fn(queries, vectors, sq_norms, metric)
+
+    # pivot distances: [B, R] in one dot_general
+    dots = jax.lax.dot_general(
+        q32,
+        pivot_vecs.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if metric == _IP:
+        pdist = -dots
+    elif metric == _L2:
+        pdist = q_sq[:, None] + pivot_sq[None, :] - 2.0 * dots
+    else:
+        denom = q_norm[:, None] * jnp.sqrt(pivot_sq)[None, :]
+        cos = jnp.where(denom > 1e-30, dots / jnp.maximum(denom, 1e-30), 0.0)
+        cos = jnp.clip(cos, -1.0, 1.0)
+        zero = (q_sq[:, None] <= 1e-30) | (pivot_sq[None, :] <= 1e-30)
+        pdist = jnp.where(zero, 1.0, 1.0 - cos)
+    pdist = jnp.where(deleted[pivots][None, :], _INF, pdist)
+    best = jnp.argmin(pdist, axis=1)  # [B]
+    cur = pivots[best]
+    cur_d = jnp.take_along_axis(pdist, best[:, None], axis=1)[:, 0]
+    # degenerate case: every pivot tombstoned -> empty entry, empty results
+    cur = jnp.where(jnp.isfinite(cur_d), cur, -1)
+
+    cand_s, cand_d, steps = _ef_beam_layer0(
+        dist_to, neighbors0, deleted, cur[:, None], cur_d[:, None], ef, max_steps
+    )
+    out_d = _finalize(cand_d[:, :k], metric)
+    out_s = cand_s[:, :k]
+    out_d = jnp.where(out_s < 0, _INF, out_d)
+    return out_d, out_s, steps
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "ef", "k", "max_steps"))
@@ -493,6 +555,15 @@ class DeviceGraph:
     def _full_upload(self, store: GraphStore) -> None:
         vecs = store.vectors
         cat, rows = self._cat_tables(store)
+        # entry pivots: a strided sample of allocated slots; the nearest
+        # pivot (one MXU matmul) is the search entry point
+        R = max(64, min(1 << int(np.ceil(np.log2(max(store.count, 1) / 16 + 1))),
+                        16384))
+        stride = max(store.count // R, 1)
+        pivots = np.arange(0, max(store.count, 1), stride, dtype=np.int32)[:R]
+        if len(pivots) < R:
+            pivots = np.pad(pivots, (0, R - len(pivots)), mode="edge")
+        pvecs = vecs[pivots].astype(np.float32)
         self.arrays = {
             "vectors": jnp.asarray(vecs, dtype=self.dtype),
             "sq_norms": jnp.asarray(
@@ -502,6 +573,9 @@ class DeviceGraph:
             "neighbors0": jnp.asarray(store.neighbors0),
             "up_nbrs_cat": jnp.asarray(cat),
             "up_rows_flat": jnp.asarray(rows),
+            "pivots": jnp.asarray(pivots),
+            "pivot_vecs": jnp.asarray(pvecs),
+            "pivot_sq": jnp.asarray(np.sum(pvecs * pvecs, axis=1)),
         }
 
     @staticmethod
@@ -598,6 +672,7 @@ class DeviceIndex:
         k: int,
         ef: int,
         max_steps: int | None = None,
+        entry_mode: str = "pivot",  # "pivot" (MXU entry) | "descent" (reference)
     ) -> tuple[np.ndarray, np.ndarray]:
         """Returns (slots [B, k] i64, dists [B, k] f32); -1/inf padding."""
         self.sync(store)
@@ -622,21 +697,37 @@ class DeviceIndex:
                 chunk = np.concatenate(
                     [chunk, np.zeros((padded - n, chunk.shape[1]), np.float32)]
                 )
-            d, s, _ = _search_kernel(
-                jnp.asarray(chunk, jnp.float32),
-                a["vectors"],
-                a["sq_norms"],
-                a["deleted"],
-                a["neighbors0"],
-                a["up_nbrs_cat"],
-                a["up_rows_flat"],
-                entry,
-                entry_level,
-                metric=int(store.metric),
-                ef=ef,
-                k=k,
-                max_steps=max_steps,
-            )
+            if entry_mode == "pivot":
+                d, s, _ = _search_kernel_pivot(
+                    jnp.asarray(chunk, jnp.float32),
+                    a["vectors"],
+                    a["sq_norms"],
+                    a["deleted"],
+                    a["neighbors0"],
+                    a["pivots"],
+                    a["pivot_vecs"],
+                    a["pivot_sq"],
+                    metric=int(store.metric),
+                    ef=ef,
+                    k=k,
+                    max_steps=max_steps,
+                )
+            else:
+                d, s, _ = _search_kernel(
+                    jnp.asarray(chunk, jnp.float32),
+                    a["vectors"],
+                    a["sq_norms"],
+                    a["deleted"],
+                    a["neighbors0"],
+                    a["up_nbrs_cat"],
+                    a["up_rows_flat"],
+                    entry,
+                    entry_level,
+                    metric=int(store.metric),
+                    ef=ef,
+                    k=k,
+                    max_steps=max_steps,
+                )
             in_flight.append((start, n, d, s))
         for start, n, d, s in in_flight:
             out_dists[start : start + n] = np.asarray(d)[:n]

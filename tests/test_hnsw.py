@@ -358,3 +358,44 @@ class TestBfloat16Storage:
             hits += len(set(want) & set(got))
             total += k
         assert hits / total >= 0.85  # small bf16 rounding loss allowed
+
+
+class TestPivotEntry:
+    """MXU pivot entry vs the reference-style hierarchical descent."""
+
+    def test_pivot_matches_descent(self, rng):
+        n, dim, k = 500, 16, 10
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        idx = HNSWIndex(
+            dim=dim,
+            params=HNSWParams(m=8, ef_construction=80, ef_search=60, seed=11),
+            metric=DistanceMetric.L2,
+            use_device=True,
+        )
+        idx.bulk_insert(list(range(1, n + 1)), vecs)
+        queries = rng.standard_normal((16, dim)).astype(np.float32)
+        dev = idx._get_device()
+        s_p, d_p = dev.search(idx.store, queries, k, 60, entry_mode="pivot")
+        s_d, d_d = dev.search(idx.store, queries, k, 60, entry_mode="descent")
+        overlap = sum(
+            len(set(s_p[b][s_p[b] >= 0]) & set(s_d[b][s_d[b] >= 0]))
+            for b in range(16)
+        )
+        assert overlap / (16 * k) >= 0.9
+
+    def test_pivot_excludes_deleted(self, rng):
+        n, dim = 300, 16
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        idx = HNSWIndex(
+            dim=dim,
+            params=HNSWParams(m=8, ef_construction=60, ef_search=40, seed=2),
+            metric=DistanceMetric.L2,
+            use_device=True,
+        )
+        idx.bulk_insert(list(range(1, n + 1)), vecs)
+        dead = set(range(1, n + 1, 3))
+        for vid in dead:
+            idx.delete(vid)
+        res = idx.search_batch(vecs[:8], SearchParams(top_k=10))
+        for rlist in res:
+            assert not ({r[0] for r in rlist} & dead)
