@@ -297,6 +297,10 @@ def main(argv=None) -> int:
             print(f"rpc error: {exc.code().name}: {exc.details()}", file=sys.stderr)
             return 1
 
+    try:  # line editing + history in the REPL (reference uses chzyer/readline)
+        import readline  # noqa: F401
+    except ImportError:
+        pass
     print(f"scintirete-tpu-cli {__version__} — connected to {args.host}:{args.port}")
     print("type 'help' for commands, 'quit' to exit")
     while True:
