@@ -100,7 +100,7 @@ class TPUConfig:
     # dtype for the device-resident vector matrix: float32 | bfloat16
     device_dtype: str = "float32"
     # batch size used by the chunked bulk-insert builder
-    build_chunk_size: int = 512
+    build_chunk_size: int = 1024
     # max concurrent queries fused into one device search dispatch
     search_batch_size: int = 256
     # number of devices to shard large collections over (1 = single chip)

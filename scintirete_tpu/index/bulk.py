@@ -32,7 +32,7 @@ from scintirete_tpu.ops.distance import distance_np
 
 # below this size, sequential host insertion is faster than device dispatch
 BOOTSTRAP_SIZE = 256
-DEFAULT_CHUNK = 512
+DEFAULT_CHUNK = 1024
 
 
 def bulk_insert(

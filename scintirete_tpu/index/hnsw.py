@@ -48,7 +48,7 @@ class HNSWIndex:
         device_dtype: str = "float32",
         use_device: bool = True,
         search_batch_size: int = 256,
-        build_chunk_size: int = 512,
+        build_chunk_size: int = 1024,
     ):
         params = params or HNSWParams()
         params.validate()
