@@ -202,16 +202,17 @@ class HNSWIndex:
                 slots_b, dists_b = self._device_search(queries, params)
             else:
                 slots_b, dists_b = self._host_search(queries, params)
-            out = []
-            for slots, dists in zip(slots_b, dists_b):
-                valid = slots >= 0
-                out.append(
-                    [
-                        (int(self.slot_to_id[s]), float(d))
-                        for s, d in zip(slots[valid], dists[valid])
-                    ]
-                )
-            return out
+            ids_b = self.slot_to_id[np.maximum(slots_b, 0)].tolist()
+            valid_b = (slots_b >= 0).tolist()
+            dists_l = dists_b.tolist()
+            return [
+                [
+                    (ids, dist)
+                    for ids, dist, ok in zip(id_row, dist_row, valid_row)
+                    if ok
+                ]
+                for id_row, dist_row, valid_row in zip(ids_b, dists_l, valid_b)
+            ]
 
     def _host_search(self, queries, params):
         slots_b, dists_b = [], []
