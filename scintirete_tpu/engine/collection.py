@@ -179,8 +179,9 @@ class Collection:
                 mats = np.stack([old.get_vector(vid) for vid in live_ids])
                 new_index.bulk_insert(live_ids, mats)
             self._index = new_index
+            live_set = set(live_ids)
             self._metadata = {
-                vid: meta for vid, meta in self._metadata.items() if vid in set(live_ids)
+                vid: meta for vid, meta in self._metadata.items() if vid in live_set
             }
             self._deleted_count = 0
             self.updated_at = time.time()
