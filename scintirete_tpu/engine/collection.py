@@ -54,24 +54,44 @@ class Collection:
 
     # ----- helpers -----
 
+    def _shard_count(self) -> int:
+        if self._tpu is None or self._tpu.shard_devices <= 1:
+            return 1
+        import jax
+
+        return min(self._tpu.shard_devices, len(jax.devices()))
+
     def _ensure_index(self, dim: int) -> HNSWIndex:
         if self._index is None:
             self._dim = dim
-            kwargs = {}
-            if self._tpu is not None:
-                kwargs = dict(
-                    search_batch_size=self._tpu.search_batch_size,
-                    build_chunk_size=self._tpu.build_chunk_size,
-                )
-            self._index = HNSWIndex(
+            self._index = self._new_index(dim)
+        return self._index
+
+    def _new_index(self, dim: int):
+        shards = self._shard_count()
+        if self._use_device and shards > 1:
+            from scintirete_tpu.parallel import ShardedHNSWIndex, make_default_mesh
+
+            return ShardedHNSWIndex(
                 dim=dim,
                 params=self.config.hnsw,
                 metric=self.config.metric,
-                device_dtype=self.config.device_dtype,
-                use_device=self._use_device,
-                **kwargs,
+                mesh=make_default_mesh(shards),
             )
-        return self._index
+        kwargs = {}
+        if self._tpu is not None:
+            kwargs = dict(
+                search_batch_size=self._tpu.search_batch_size,
+                build_chunk_size=self._tpu.build_chunk_size,
+            )
+        return HNSWIndex(
+            dim=dim,
+            params=self.config.hnsw,
+            metric=self.config.metric,
+            device_dtype=self.config.device_dtype,
+            use_device=self._use_device,
+            **kwargs,
+        )
 
     def _check_dim(self, dim: int) -> None:
         if self._dim is not None and dim != self._dim:
@@ -161,20 +181,7 @@ class Collection:
             purged = self._deleted_count
             old = self._index
             live_ids = [vid for vid in old.id_to_slot if old.contains(vid)]
-            kwargs = {}
-            if self._tpu is not None:
-                kwargs = dict(
-                    search_batch_size=self._tpu.search_batch_size,
-                    build_chunk_size=self._tpu.build_chunk_size,
-                )
-            new_index = HNSWIndex(
-                dim=self._dim,
-                params=self.config.hnsw,
-                metric=self.config.metric,
-                device_dtype=self.config.device_dtype,
-                use_device=self._use_device,
-                **kwargs,
-            )
+            new_index = self._new_index(self._dim)
             if live_ids:
                 mats = np.stack([old.get_vector(vid) for vid in live_ids])
                 new_index.bulk_insert(live_ids, mats)
@@ -305,9 +312,23 @@ class Collection:
         col = cls(config, use_device=use_device, tpu_config=tpu_config)
         graph = state.get("graph")
         if graph is not None:
-            col._index = HNSWIndex.import_graph_state(
-                graph, device_dtype=config.device_dtype, use_device=use_device
-            )
+            if graph.get("sharded"):
+                from scintirete_tpu.parallel import (
+                    ShardedHNSWIndex,
+                    make_default_mesh,
+                )
+
+                col._index = ShardedHNSWIndex.import_graph_state(
+                    graph,
+                    params=config.hnsw,
+                    mesh=make_default_mesh(col._shard_count())
+                    if col._shard_count() > 1
+                    else None,
+                )
+            else:
+                col._index = HNSWIndex.import_graph_state(
+                    graph, device_dtype=config.device_dtype, use_device=use_device
+                )
             col._dim = col._index.dim
         col._next_id = int(state["next_id"])
         col._deleted_count = int(state.get("deleted_count", 0))

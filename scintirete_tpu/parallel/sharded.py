@@ -246,6 +246,7 @@ class ShardedHNSWIndex:
                     ef_search=params.ef_search,
                     max_layers=params.max_layers,
                     seed=seed + s,
+                    neighbor_heuristic=params.neighbor_heuristic,
                 ),
                 metric,
                 use_device=False,
@@ -258,6 +259,72 @@ class ShardedHNSWIndex:
 
     def size(self) -> int:
         return sum(sub.size() for sub in self.subs)
+
+    # ----- HNSWIndex-compatible surface (lets Collection host a sharded
+    # index transparently when tpu.shard_devices > 1) -----
+
+    @property
+    def id_to_slot(self) -> dict:
+        merged: dict[int, int] = {}
+        for sub in self.subs:
+            merged.update(sub.id_to_slot)
+        return merged
+
+    def _owner(self, vector_id: int):
+        for sub in self.subs:
+            if vector_id in sub.id_to_slot:
+                return sub
+        return None
+
+    def contains(self, vector_id: int) -> bool:
+        sub = self._owner(vector_id)
+        return sub is not None and sub.contains(vector_id)
+
+    def get_vector(self, vector_id: int) -> np.ndarray:
+        from scintirete_tpu.errors import ErrorCode, ScintireteError
+
+        sub = self._owner(vector_id)
+        if sub is None:
+            raise ScintireteError(
+                ErrorCode.VECTOR_NOT_FOUND, f"vector not found: {vector_id}"
+            )
+        return sub.get_vector(vector_id)
+
+    def memory_bytes(self) -> int:
+        return sum(sub.memory_bytes() for sub in self.subs)
+
+    def set_ef_search(self, ef: int) -> None:
+        import dataclasses
+
+        self.params = dataclasses.replace(self.params, ef_search=ef)
+        for sub in self.subs:
+            sub.set_ef_search(ef)
+
+    def export_graph_state(self) -> dict:
+        return {
+            "sharded": True,
+            "dim": self.dim,
+            "metric": int(self.metric),
+            "shards": [sub.export_graph_state() for sub in self.subs],
+        }
+
+    @classmethod
+    def import_graph_state(cls, state: dict, params=None,
+                           mesh: Optional[Mesh] = None) -> "ShardedHNSWIndex":
+        sub_states = state["shards"]
+        idx = cls(
+            dim=state["dim"],
+            params=params,
+            metric=DistanceMetric(state["metric"]),
+            mesh=mesh or make_default_mesh(),
+        )
+        assert idx.S == len(sub_states), (
+            f"snapshot has {len(sub_states)} shards, mesh has {idx.S}"
+        )
+        idx.subs = [
+            HNSWIndex.import_graph_state(s, use_device=False) for s in sub_states
+        ]
+        return idx
 
     def bulk_insert(self, ids: list[int], vectors: np.ndarray) -> None:
         vectors = np.asarray(vectors, np.float32)

@@ -92,3 +92,72 @@ class TestShardedHNSW:
         for r in res:
             dists = [x[1] for x in r]
             assert dists == sorted(dists)
+
+
+class TestShardedCollection:
+    """tpu.shard_devices wiring: a Collection transparently hosts a sharded
+    index across the mesh."""
+
+    def _collection(self):
+        from scintirete_tpu.config import TPUConfig
+        from scintirete_tpu.engine import Collection
+        from scintirete_tpu.types import CollectionConfig
+
+        cfg = CollectionConfig(
+            name="c",
+            metric=DistanceMetric.L2,
+            hnsw=HNSWParams(m=8, ef_construction=60, ef_search=60, seed=9,
+                            neighbor_heuristic=True),
+        )
+        return Collection(
+            cfg, use_device=True, tpu_config=TPUConfig(shard_devices=4)
+        )
+
+    def test_insert_search_delete(self, rng):
+        from scintirete_tpu.parallel.sharded import ShardedHNSWIndex
+
+        col = self._collection()
+        vecs = rng.standard_normal((300, 16)).astype(np.float32)
+        ids = col.insert([(v, {"i": i}) for i, v in enumerate(vecs)])
+        assert isinstance(col._index, ShardedHNSWIndex)
+        assert col._index.S == 4
+        assert col.count() == 300
+
+        res = col.search_batch(vecs[:4], SearchParams(top_k=5))
+        assert [r[0].id for r in res] == ids[:4]
+        assert res[0][0].metadata == {"i": 0}
+
+        col.delete(ids[:10])
+        assert col.count() == 290
+        res = col.search(vecs[0], SearchParams(top_k=5))
+        assert ids[0] not in [r.id for r in res]
+
+    def test_snapshot_roundtrip(self, rng):
+        from scintirete_tpu.engine import Collection
+
+        col = self._collection()
+        vecs = rng.standard_normal((150, 16)).astype(np.float32)
+        ids = col.insert([(v, None) for v in vecs])
+        state = col.export_state()
+        assert state["graph"]["sharded"] is True
+
+        from scintirete_tpu.config import TPUConfig
+
+        col2 = Collection.from_state(
+            state, use_device=True, tpu_config=TPUConfig(shard_devices=4)
+        )
+        assert col2.count() == 150
+        r1 = col.search(vecs[7], SearchParams(top_k=5))
+        r2 = col2.search(vecs[7], SearchParams(top_k=5))
+        assert [x.id for x in r1] == [x.id for x in r2]
+
+    def test_compact_sharded(self, rng):
+        col = self._collection()
+        vecs = rng.standard_normal((120, 16)).astype(np.float32)
+        ids = col.insert([(v, None) for v in vecs])
+        col.delete(ids[::2])
+        purged = col.compact()
+        assert purged == 60
+        assert col.count() == 60
+        res = col.search(vecs[1], SearchParams(top_k=3))
+        assert res[0].id == ids[1]
