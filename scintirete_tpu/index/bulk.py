@@ -33,6 +33,10 @@ from scintirete_tpu.ops.distance import distance_np
 # below this size, sequential host insertion is faster than device dispatch
 BOOTSTRAP_SIZE = 256
 DEFAULT_CHUNK = 1024
+# batches smaller than this skip the device entirely: a padded device chunk
+# costs ~1 s of descent while a host insert is ~20 ms — online single-vector
+# inserts (the reference's <10 ms target) must not pay the batch machinery
+SMALL_BATCH = 48
 
 
 def bulk_insert(
@@ -50,8 +54,12 @@ def bulk_insert(
     store.reserve(levels)
     slots: list[int] = []
 
-    # bootstrap: sequential host inserts until the graph is worth a dispatch
-    boot = n if device is None else max(0, min(n, BOOTSTRAP_SIZE - store.live))
+    # bootstrap: sequential host inserts until the graph is worth a dispatch;
+    # small online batches always stay on the host (latency path)
+    if device is None or n < SMALL_BATCH:
+        boot = n
+    else:
+        boot = max(0, min(n, BOOTSTRAP_SIZE - store.live))
     for i in range(boot):
         slots.append(host_algo.insert(store, vectors[i], int(levels[i])))
 

@@ -109,3 +109,32 @@ class TestChunkedBuild:
             "up_nbrs_cat", "up_rows_flat",
         ):
             np.testing.assert_array_equal(np.asarray(a[key]), np.asarray(b[key]), key)
+
+
+class TestOnlineInsertLatency:
+    def test_small_batches_stay_on_host(self, rng, monkeypatch):
+        """Online single inserts must not pay device-chunk machinery."""
+        import scintirete_tpu.index.bulk as bulkmod
+
+        n, dim = BOOTSTRAP_SIZE + 400, 16
+        idx = HNSWIndex(dim=dim, params=PARAMS, metric=DistanceMetric.L2,
+                        use_device=True)
+        idx.bulk_insert(
+            list(range(1, n + 1)),
+            rng.standard_normal((n, dim)).astype(np.float32),
+        )
+        calls = []
+        orig = bulkmod._dispatch_chunk
+        monkeypatch.setattr(
+            bulkmod, "_dispatch_chunk",
+            lambda *a, **k: calls.append(1) or orig(*a, **k),
+        )
+        # single online insert: no device dispatch
+        idx.insert(n + 1, rng.standard_normal(dim).astype(np.float32))
+        assert not calls
+        # large batch still uses the device path
+        idx.bulk_insert(
+            list(range(n + 2, n + 2 + 128)),
+            rng.standard_normal((128, dim)).astype(np.float32),
+        )
+        assert calls
