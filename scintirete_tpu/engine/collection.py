@@ -259,6 +259,12 @@ class Collection:
                     raise
         return out
 
+    def has_id(self, vid: int) -> bool:
+        """True if the id was ever assigned (tombstoned included) — used by
+        idempotent AOF replay."""
+        with self._lock:
+            return self._index is not None and self._index.has_id(int(vid))
+
     def count(self) -> int:
         with self._lock:
             return self._index.size() if self._index else 0

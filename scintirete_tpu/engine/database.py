@@ -269,9 +269,13 @@ class Engine:
                 db.drop_collection(colname)
         elif ctype == CMD_INSERT_VECTORS:
             col = self.get_database(dbname).get_collection(colname)
+            # at-least-once replay: an insert can be both in the snapshot and
+            # in the AOF tail (mutation before snapshot capture, append after
+            # truncation) — skip ids that already exist instead of failing
             vectors = [
                 (int(v["id"]), v["elements"], v.get("metadata"))
                 for v in args.get("vectors", [])
+                if not col.has_id(int(v["id"]))
             ]
             col.insert_with_ids(vectors)
         elif ctype == CMD_DELETE_VECTORS:

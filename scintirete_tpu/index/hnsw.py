@@ -167,6 +167,11 @@ class HNSWIndex:
             slot = self.id_to_slot.get(vector_id)
             return slot is not None and not self.store.deleted[slot]
 
+    def has_id(self, vector_id: int) -> bool:
+        """True if the id was ever assigned (tombstoned ids included)."""
+        with self._lock:
+            return vector_id in self.id_to_slot
+
     def get_vector(self, vector_id: int) -> np.ndarray:
         with self._lock:
             slot = self.id_to_slot.get(vector_id)

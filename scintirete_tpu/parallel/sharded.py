@@ -280,6 +280,9 @@ class ShardedHNSWIndex:
         sub = self._owner(vector_id)
         return sub is not None and sub.contains(vector_id)
 
+    def has_id(self, vector_id: int) -> bool:
+        return self._owner(vector_id) is not None
+
     def get_vector(self, vector_id: int) -> np.ndarray:
         from scintirete_tpu.errors import ErrorCode, ScintireteError
 

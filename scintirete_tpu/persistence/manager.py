@@ -73,6 +73,11 @@ class PersistenceManager:
         self.logger = logger
 
         self._lock = threading.Lock()
+        # serializes AOF appends against rewrite's capture-and-swap: a write
+        # landing between engine-state capture and the file swap would be
+        # silently dropped from the rewritten log (data loss the reference
+        # shares — fixed here)
+        self._aof_write_gate = threading.Lock()
         self._dirty_commands = 0
         self._last_snapshot = time.time()
         self._last_rewrite_size = 0
@@ -89,7 +94,8 @@ class PersistenceManager:
     # ----- write path -----
 
     def write_aof(self, cmd: dict[str, Any]) -> None:
-        self.aof.write_command(cmd)
+        with self._aof_write_gate:
+            self.aof.write_command(cmd)
         with self._lock:
             self._dirty_commands += 1
             self._stats["aof_writes"] += 1
@@ -144,10 +150,13 @@ class PersistenceManager:
 
     def save_snapshot(self) -> None:
         """Synchronous snapshot; truncates the AOF on success
-        (reference: persistence.go:333-362)."""
-        state = self.engine.export_state()
-        self.rdb.save(state)
-        self.aof.truncate()
+        (reference: persistence.go:333-362). Appends are gated from state
+        capture through truncation: an append racing in between would
+        otherwise be truncated away without being in the snapshot."""
+        with self._aof_write_gate:
+            state = self.engine.export_state()
+            self.rdb.save(state)
+            self.aof.truncate()
         with self._lock:
             self._dirty_commands = 0
             self._last_snapshot = time.time()
@@ -188,8 +197,9 @@ class PersistenceManager:
             last = self._last_rewrite_size
         if last > 0 and size < last * AOF_REWRITE_GROWTH:
             return False
-        commands = self.engine.get_optimized_commands()
-        self.aof.rewrite(commands)
+        with self._aof_write_gate:  # no appends between capture and swap
+            commands = self.engine.get_optimized_commands()
+            self.aof.rewrite(commands)
         with self._lock:
             self._last_rewrite_size = self.aof.size_bytes()
             self._stats["rewrites"] += 1
