@@ -162,9 +162,11 @@ class Collection:
                 return 0
             for vid in ids:
                 try:
-                    self._index.delete(int(vid))
-                    deleted += 1
-                    self._deleted_count += 1
+                    if self._index.delete(int(vid)):
+                        # already-tombstoned ids don't count (they'd inflate
+                        # deleted_count on every at-least-once AOF replay)
+                        deleted += 1
+                        self._deleted_count += 1
                 except ScintireteError as exc:
                     if exc.code != ErrorCode.VECTOR_NOT_FOUND:
                         raise

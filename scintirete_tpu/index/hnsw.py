@@ -151,16 +151,18 @@ class HNSWIndex:
             self.slot_to_id = new
         self.slot_to_id[slot] = vector_id
 
-    def delete(self, vector_id: int) -> None:
+    def delete(self, vector_id: int) -> bool:
+        """Tombstone an id. Returns False when it was already deleted
+        (reference counts only live ids as deleted, collection.go:152-190)."""
         with self._lock:
             slot = self.id_to_slot.get(vector_id)
             if slot is None:
                 raise ScintireteError(
                     ErrorCode.VECTOR_NOT_FOUND, f"vector not found: {vector_id}"
                 )
-            host_algo.delete(self.store, slot)
             # keep id mapping so Get on a deleted id reports not-found
             # (mirrors reference tombstone visibility)
+            return host_algo.delete(self.store, slot)
 
     def contains(self, vector_id: int) -> bool:
         with self._lock:

@@ -189,7 +189,18 @@ class PersistenceManager:
         return True
 
     def maybe_rewrite_aof(self) -> bool:
-        """Smart gate (reference: persistence.go:557-620)."""
+        """Smart gate (reference: persistence.go:557-620).
+
+        The rewritten log is a FULL-state command stream (CREATE + INSERT of
+        live data only). Recovery replays the AOF on top of the RDB snapshot,
+        so a rewrite while an RDB exists would resurrect anything deleted
+        since that snapshot (the rewrite carries no DELETE/DROP records for
+        it). When an RDB exists we therefore compact via a fresh snapshot
+        instead — it truncates the AOF, which is a strictly stronger rewrite
+        and keeps the "AOF = changes since last snapshot" invariant. The
+        plain rewrite remains for the AOF-only regime, where the
+        self-contained stream IS the whole recovery source.
+        """
         size = self.aof.size_bytes()
         if size <= self.aof_rewrite_size_bytes:
             return False
@@ -197,6 +208,11 @@ class PersistenceManager:
             last = self._last_rewrite_size
         if last > 0 and size < last * AOF_REWRITE_GROWTH:
             return False
+        if self.rdb.exists():
+            self.save_snapshot()
+            with self._lock:
+                self._stats["rewrites"] += 1
+            return True
         with self._aof_write_gate:  # no appends between capture and swap
             commands = self.engine.get_optimized_commands()
             self.aof.rewrite(commands)

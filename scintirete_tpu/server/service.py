@@ -22,6 +22,7 @@ Notable behaviors preserved:
 
 from __future__ import annotations
 
+import dataclasses
 import time
 import uuid
 from typing import Any, Optional
@@ -220,11 +221,15 @@ class ScintireteService:
             metric = DistanceMetric(req.metric_type)
             defaults = self.config.default_hnsw_params()
             if req.HasField("hnsw_config"):
-                hnsw = HNSWParams(
+                # carry ALL server defaults (notably neighbor_heuristic and
+                # max_layers) and override only the fields the proto exposes —
+                # a partial HNSWParams here would silently disable the
+                # diversity heuristic for client-configured collections
+                hnsw = dataclasses.replace(
+                    defaults,
                     m=req.hnsw_config.m or defaults.m,
                     ef_construction=req.hnsw_config.ef_construction
                     or defaults.ef_construction,
-                    ef_search=defaults.ef_search,
                 )
             else:
                 hnsw = defaults
@@ -242,13 +247,9 @@ class ScintireteService:
                 req.collection_name,
                 {
                     "metric": int(metric),
-                    "hnsw": {
-                        "m": hnsw.m,
-                        "ef_construction": hnsw.ef_construction,
-                        "ef_search": hnsw.ef_search,
-                        "max_layers": hnsw.max_layers,
-                        "seed": hnsw.seed,
-                    },
+                    # full params (incl. neighbor_heuristic) so an AOF-replayed
+                    # collection is built with the same selection rule
+                    "hnsw": dataclasses.asdict(hnsw),
                     "device_dtype": cfg.device_dtype,
                 },
             )

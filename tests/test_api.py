@@ -161,6 +161,40 @@ class TestCollectionRPCs:
         assert resp.info.hnsw_config.ef_construction == 111
         assert resp.info.metric_type == pb.COSINE
 
+    def test_custom_hnsw_keeps_server_defaults(self, tmp_path, fake_embed):
+        """Regression: hnsw_config must not drop server-default fields the
+        proto doesn't expose (neighbor_heuristic), and the AOF CREATE record
+        must carry them so replay rebuilds with the same selection rule."""
+        cfg = Config()
+        cfg.server.passwords = [PASSWORD]
+        cfg.persistence.data_dir = str(tmp_path / "data")
+        cfg.algorithm.hnsw_defaults.neighbor_heuristic = True
+        svc = ScintireteService(cfg, use_device=False)
+        svc.start()
+        try:
+            svc.CreateDatabase(pb.CreateDatabaseRequest(auth=auth(), name="db"))
+            svc.CreateCollection(
+                pb.CreateCollectionRequest(
+                    auth=auth(), db_name="db", collection_name="c",
+                    metric_type=pb.COSINE,
+                    hnsw_config=pb.HnswConfig(m=24, ef_construction=111),
+                )
+            )
+            col = svc.engine.get_database("db").get_collection("c")
+            assert col.config.hnsw.neighbor_heuristic is True
+            assert col.config.hnsw.m == 24
+        finally:
+            svc.stop()
+        # replayed collection keeps the heuristic
+        svc2 = ScintireteService(cfg, use_device=False)
+        svc2.start()  # start() runs recovery (AOF replay)
+        try:
+            col2 = svc2.engine.get_database("db").get_collection("c")
+            assert col2.config.hnsw.neighbor_heuristic is True
+            assert col2.config.hnsw.m == 24
+        finally:
+            svc2.stop()
+
     def test_unspecified_metric_rejected(self, service):
         service.CreateDatabase(pb.CreateDatabaseRequest(auth=auth(), name="db"))
         with pytest.raises(ScintireteError):

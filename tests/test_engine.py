@@ -86,6 +86,17 @@ class TestCollection:
         with pytest.raises(ScintireteError):
             col.get(ids[0])
 
+    def test_double_delete_not_counted(self, rng):
+        """Regression: deleting an already-tombstoned id must not inflate
+        deleted counts (reference returns 0 for already-deleted ids)."""
+        col = make_collection()
+        ids = col.insert([(v, None) for v in vecs(rng, 6)])
+        assert col.delete([ids[0]]) == 1
+        assert col.delete([ids[0]]) == 0  # tombstoned, not live
+        assert col.delete([ids[0], ids[1]]) == 1  # only the live one counts
+        assert col.count() == 4
+        assert col.info().deleted_count == 2
+
     def test_compact_purges_and_preserves_search(self, rng):
         col = make_collection()
         data = vecs(rng, 40)

@@ -301,6 +301,38 @@ class TestManagerIntegration:
         assert any(c["database"] == "db" for c in seen)
         pm.stop()
 
+    def test_rewrite_after_snapshot_preserves_deletes(self, tmp_path, rng):
+        """Regression: a rewritten AOF is a full-state stream; replaying it on
+        top of a stale RDB must not resurrect rows deleted since the
+        snapshot. (insert 5 -> snapshot -> delete 1 -> rewrite -> recover)"""
+        engine, pm = make_manager(tmp_path, aof_rewrite_size_bytes=1)
+        col, data, ids = populate(engine, rng, n=5)
+        pm.log_create_database("db")
+        pm.log_create_collection(
+            "db", "c", {"metric": int(DistanceMetric.L2),
+                        "hnsw": {"m": 8, "seed": 5}}
+        )
+        pm.log_insert_vectors(
+            "db", "c",
+            [{"id": vid, "elements": data[i].tolist(), "metadata": {"i": i}}
+             for i, vid in enumerate(ids)],
+        )
+        pm.save_snapshot()
+        assert pm.rdb.exists()
+        col.delete([ids[0]])
+        pm.log_delete_vectors("db", "c", [ids[0]])
+        pm.aof.flush()
+        assert pm.maybe_rewrite_aof() is True
+        pm.stop()
+
+        engine2, pm2 = make_manager(tmp_path)
+        pm2.recover()
+        col2 = engine2.get_database("db").get_collection("c")
+        assert col2.count() == 4
+        with pytest.raises(ScintireteError):
+            col2.get(ids[0])
+        pm2.stop()
+
     def test_background_tasks_fire(self, tmp_path, rng):
         engine, pm = make_manager(
             tmp_path,
