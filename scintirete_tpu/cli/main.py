@@ -32,8 +32,9 @@ HELP = """Commands:
   database create <name>                   create a database
   database drop <name>                     drop a database
   collection list                          list collections in current db
-  collection create <name> <metric> [m] [ef_construction]
-                                           create a collection (metric: L2|COSINE|IP)
+  collection create <name> <metric> [m] [ef_construction] [hnsw|flat]
+                                           create a collection (metric: L2|COSINE|IP;
+                                           flat = exact MXU scan index)
   collection drop <name>                   drop a collection
   collection info <name>                   collection statistics
   vector insert <collection> <json-array> [json-metadata]
@@ -147,6 +148,8 @@ class CLI:
                 req.hnsw_config.m = int(args[3])
             if len(args) >= 5:
                 req.hnsw_config.ef_construction = int(args[4])
+            if len(args) >= 6:
+                req.index_type = args[5].lower()
             self.client.CreateCollection(req)
             return f"collection {name} created"
         if len(args) == 2 and args[0] == "drop":
@@ -167,7 +170,8 @@ class CLI:
                 f"vectors={info.vector_count} deleted={info.deleted_count} "
                 f"memory={info.memory_bytes}B "
                 f"metric={pb.DistanceMetric.Name(info.metric_type)} "
-                f"m={info.hnsw_config.m} ef_c={info.hnsw_config.ef_construction}"
+                f"m={info.hnsw_config.m} ef_c={info.hnsw_config.ef_construction} "
+                f"index={info.index_type or 'hnsw'}"
             )
         raise ValueError("usage: collection list|create|drop|info ...")
 

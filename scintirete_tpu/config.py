@@ -99,10 +99,17 @@ class TPUConfig:
 
     # dtype for the device-resident vector matrix: float32 | bfloat16
     device_dtype: str = "float32"
+    # default index for new collections: "hnsw" (reference behavior,
+    # sublinear + low single-query latency) or "flat" (exact MXU scan —
+    # recall 1.0, O(append) builds, the throughput winner up to HBM scale)
+    default_index_type: str = "hnsw"
     # batch size used by the chunked bulk-insert builder
     build_chunk_size: int = 1024
     # max concurrent queries fused into one device search dispatch
     search_batch_size: int = 256
+    # collections smaller than this search on the host (device dispatch
+    # latency dominates tiny graphs); 0 = always use the device
+    device_search_min_size: int = 4096
     # number of devices to shard large collections over (1 = single chip)
     shard_devices: int = 1
 
@@ -158,6 +165,8 @@ class Config:
                 fail(f"embedding model {model.id}: invalid dimension")
         if self.tpu.device_dtype not in ("float32", "bfloat16"):
             fail(f"invalid tpu.device_dtype: {self.tpu.device_dtype}")
+        if self.tpu.default_index_type not in ("hnsw", "flat"):
+            fail(f"invalid tpu.default_index_type: {self.tpu.default_index_type}")
         if self.tpu.build_chunk_size <= 0:
             fail("tpu.build_chunk_size must be > 0")
         if self.tpu.search_batch_size <= 0:

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import threading
 import time
+import uuid
 from typing import Any, Optional, Sequence
 
 import numpy as np
@@ -51,6 +52,9 @@ class Collection:
         self._use_device = use_device
         self.created_at = time.time()
         self.updated_at = self.created_at
+        # process-unique stable identity (request batchers key on it; id()
+        # can alias after GC, a uuid cannot)
+        self.uid = uuid.uuid4().hex
 
     # ----- helpers -----
 
@@ -68,6 +72,20 @@ class Collection:
         return self._index
 
     def _new_index(self, dim: int):
+        if self.config.index_type == "flat":
+            from scintirete_tpu.index.flat import FlatIndex
+
+            kwargs = {}
+            if self._tpu is not None:
+                kwargs = dict(search_batch_size=self._tpu.search_batch_size)
+            return FlatIndex(
+                dim=dim,
+                params=self.config.hnsw,
+                metric=self.config.metric,
+                device_dtype=self.config.device_dtype,
+                use_device=self._use_device,
+                **kwargs,
+            )
         shards = self._shard_count()
         if self._use_device and shards > 1:
             from scintirete_tpu.parallel import ShardedHNSWIndex, make_default_mesh
@@ -83,6 +101,7 @@ class Collection:
             kwargs = dict(
                 search_batch_size=self._tpu.search_batch_size,
                 build_chunk_size=self._tpu.build_chunk_size,
+                device_search_min_size=self._tpu.device_search_min_size,
             )
         return HNSWIndex(
             dim=dim,
@@ -281,6 +300,7 @@ class Collection:
                 memory_bytes=self._index.memory_bytes() if self._index else 0,
                 metric=self.config.metric,
                 hnsw=self.config.hnsw,
+                index_type=self.config.index_type,
             )
 
     # ----- persistence bridge -----
@@ -295,6 +315,7 @@ class Collection:
                     "metric": int(self.config.metric),
                     "hnsw": dc.asdict(self.config.hnsw),
                     "device_dtype": self.config.device_dtype,
+                    "index_type": self.config.index_type,
                 },
                 "next_id": self._next_id,
                 "deleted_count": self._deleted_count,
@@ -316,11 +337,18 @@ class Collection:
             metric=DistanceMetric(cfg_data["metric"]),
             hnsw=HNSWParams(**cfg_data["hnsw"]),
             device_dtype=cfg_data.get("device_dtype", "float32"),
+            index_type=cfg_data.get("index_type", "hnsw"),
         )
         col = cls(config, use_device=use_device, tpu_config=tpu_config)
         graph = state.get("graph")
         if graph is not None:
-            if graph.get("sharded"):
+            if graph.get("kind") == "flat":
+                from scintirete_tpu.index.flat import FlatIndex
+
+                col._index = FlatIndex.import_graph_state(
+                    graph, device_dtype=config.device_dtype, use_device=use_device
+                )
+            elif graph.get("sharded"):
                 from scintirete_tpu.parallel import (
                     ShardedHNSWIndex,
                     make_default_mesh,

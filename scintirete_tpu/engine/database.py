@@ -261,6 +261,7 @@ class Engine:
                     metric=DistanceMetric(cfg.get("metric", 2)),
                     hnsw=HNSWParams(**cfg.get("hnsw", {})),
                     device_dtype=cfg.get("device_dtype", "float32"),
+                    index_type=cfg.get("index_type", "hnsw"),
                 )
                 db.create_collection(config)
         elif ctype == CMD_DROP_COLLECTION:
@@ -310,6 +311,7 @@ class Engine:
                                     "metric": int(col.config.metric),
                                     "hnsw": dc.asdict(col.config.hnsw),
                                     "device_dtype": col.config.device_dtype,
+                                    "index_type": col.config.index_type,
                                 }
                             },
                         )

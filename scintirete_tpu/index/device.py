@@ -249,7 +249,9 @@ def _ef_beam_layer0(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "ef", "k", "max_steps"))
+@functools.partial(
+    jax.jit, static_argnames=("metric", "ef", "k", "max_steps", "expand")
+)
 def _search_kernel_pivot(
     queries,  # [B, D] f32
     vectors,  # [cap, D]
@@ -263,6 +265,7 @@ def _search_kernel_pivot(
     ef: int,
     k: int,
     max_steps: int,
+    expand: int = SEARCH_EXPAND,
 ):
     """TPU-first entry: ONE matmul against R sampled pivots replaces the
     upper-layer greedy descent (a pointer-chase of ~layers x moves serialized
@@ -303,7 +306,8 @@ def _search_kernel_pivot(
     cur = jnp.where(jnp.isfinite(cur_d), cur, -1)
 
     cand_s, cand_d, steps = _ef_beam_layer0(
-        dist_to, neighbors0, deleted, cur[:, None], cur_d[:, None], ef, max_steps
+        dist_to, neighbors0, deleted, cur[:, None], cur_d[:, None], ef,
+        max_steps, expand=expand,
     )
     out_d = _finalize(cand_d[:, :k], metric)
     out_s = cand_s[:, :k]
@@ -311,7 +315,9 @@ def _search_kernel_pivot(
     return out_d, out_s, steps
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "ef", "k", "max_steps"))
+@functools.partial(
+    jax.jit, static_argnames=("metric", "ef", "k", "max_steps", "expand")
+)
 def _search_kernel(
     queries,  # [B, D] f32
     vectors,  # [cap, D] f32/bf16
@@ -326,6 +332,7 @@ def _search_kernel(
     ef: int,
     k: int,
     max_steps: int,
+    expand: int = SEARCH_EXPAND,
 ):
     B = queries.shape[0]
     cap = vectors.shape[0]
@@ -340,7 +347,8 @@ def _search_kernel(
     )
 
     cand_s, cand_d, steps = _ef_beam_layer0(
-        dist_to, neighbors0, deleted, cur[:, None], cur_d[:, None], ef, max_steps
+        dist_to, neighbors0, deleted, cur[:, None], cur_d[:, None], ef,
+        max_steps, expand=expand,
     )
     out_d = _finalize(cand_d[:, :k], metric)
     out_s = cand_s[:, :k]
@@ -476,6 +484,25 @@ def _build_descent_kernel(
 def _scatter_rows(arr, idx, vals):
     """Row scatter with out-of-bounds padding dropped (idx = len(arr) pads)."""
     return arr.at[idx].set(vals, mode="drop")
+
+
+def _fetch_packed(dists: list, slots: list) -> tuple[np.ndarray, np.ndarray]:
+    """Materialize per-sub-batch (dist f32, slot int) device results with ONE
+    device->host transfer. Every separate fetch pays a full transfer round
+    trip (~20 ms over a tunneled TPU); packing the f32 bits next to the slot
+    ints makes the whole batch one buffer."""
+    d = jnp.concatenate(dists) if len(dists) > 1 else dists[0]
+    s = jnp.concatenate(slots) if len(slots) > 1 else slots[0]
+    packed = jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(d.astype(jnp.float32), jnp.int32),
+            s.astype(jnp.int32),
+        ],
+        axis=1,
+    )
+    host = np.asarray(packed)
+    k = host.shape[1] // 2
+    return host[:, :k].copy().view(np.float32), host[:, k:]
 
 
 def _pad_pow2(n: int, minimum: int = 64) -> int:
@@ -673,6 +700,7 @@ class DeviceIndex:
         ef: int,
         max_steps: int | None = None,
         entry_mode: str = "pivot",  # "pivot" (MXU entry) | "descent" (reference)
+        expand: int = SEARCH_EXPAND,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Returns (slots [B, k] i64, dists [B, k] f32); -1/inf padding."""
         self.sync(store)
@@ -711,6 +739,7 @@ class DeviceIndex:
                     ef=ef,
                     k=k,
                     max_steps=max_steps,
+                    expand=expand,
                 )
             else:
                 d, s, _ = _search_kernel(
@@ -727,11 +756,17 @@ class DeviceIndex:
                     ef=ef,
                     k=k,
                     max_steps=max_steps,
+                    expand=expand,
                 )
             in_flight.append((start, n, d, s))
-        for start, n, d, s in in_flight:
-            out_dists[start : start + n] = np.asarray(d)[:n]
-            out_slots[start : start + n] = np.asarray(s)[:n]
+        d_host, s_host = _fetch_packed(
+            [d for _, _, d, _ in in_flight], [s for _, _, _, s in in_flight]
+        )
+        row = 0
+        for start, n, d, _ in in_flight:
+            out_dists[start : start + n] = d_host[row : row + n]
+            out_slots[start : start + n] = s_host[row : row + n]
+            row += d.shape[0]
         return out_slots, out_dists
 
     def build_descent_raw(

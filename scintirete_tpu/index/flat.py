@@ -1,0 +1,365 @@
+"""FlatIndex: exact top-k search over a single device-resident matrix.
+
+The TPU-native answer to "why does a vector DB need a graph index at all?":
+the reference adopted HNSW because a CPU scan at 1M vectors costs ~100 ms per
+query (reference: docs/en/2_system-requirements.md sizing, ~71% of search CPU
+in scalar distance loops). One TPU chip's MXU scores a 1k-query batch against
+1M x 128 vectors in ~35 ms total — exact search at >25k QPS, recall 1.0 —
+so up to HBM scale the *flat* index dominates HNSW on every axis that isn't
+single-query latency: build is O(append), delete is a mask write, snapshots
+are a plain matrix dump, and recall is exact.
+
+Capability parity: implements the same surface as `HNSWIndex`
+(reference: internal/core/interfaces.go:87-111 VectorIndex) so collections
+can select `index_type = "flat"`. SearchParams.ef_search is accepted and
+ignored (no beam). Selection uses the hardware approx-top-k
+(ops/flat_scan.py); distances are reference-exact.
+
+Mutation model mirrors HNSWIndex: host arrays are the source of truth;
+the device mirror re-syncs lazily (full upload on capacity growth, dirty-row
+scatter otherwise).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from typing import Any, Optional, Sequence
+
+import numpy as np
+
+from scintirete_tpu.errors import (
+    ErrorCode,
+    ScintireteError,
+    dimension_mismatch,
+)
+from scintirete_tpu.types import DistanceMetric, HNSWParams, SearchParams
+
+_MIN_CAP = 256
+
+
+def _grow_to(arr: np.ndarray, cap: int, fill) -> np.ndarray:
+    new = np.full((cap,) + arr.shape[1:], fill, dtype=arr.dtype)
+    new[: arr.shape[0]] = arr
+    return new
+
+
+@dataclasses.dataclass
+class FlatStats:
+    nodes: int
+    connections: int
+    avg_degree: float
+    max_layer: int
+    memory_bytes: int
+
+
+class FlatIndex:
+    """Thread-safe exact index keyed by uint64 vector IDs."""
+
+    RECALL_TARGET = 0.95  # approx_min_k selection recall (distances exact)
+
+    def __init__(
+        self,
+        dim: int,
+        params: HNSWParams | None = None,  # accepted for config parity
+        metric: DistanceMetric = DistanceMetric.COSINE,
+        device_dtype: str = "float32",
+        use_device: bool = True,
+        search_batch_size: int = 1024,
+        **_: Any,
+    ):
+        self.dim = dim
+        self.params = params or HNSWParams()
+        self.metric = DistanceMetric(metric)
+        self.device_dtype = device_dtype
+        self.use_device = use_device
+        self.search_batch_size = search_batch_size
+
+        self.cap = _MIN_CAP
+        self.count = 0  # slots handed out (includes tombstones)
+        self.live = 0
+        self.vectors = np.zeros((self.cap, dim), np.float32)
+        self.deleted = np.zeros(self.cap, np.bool_)
+        self.id_to_slot: dict[int, int] = {}
+        self.slot_to_id = np.zeros(self.cap, np.uint64)
+
+        self._lock = threading.RLock()
+        # device mirror state
+        self._dev: dict[str, Any] = {}
+        self._dev_cap = -1
+        self._dirty: set[int] | None = set()
+        self._version = 0
+        self._dev_version = -1
+
+    # ----- properties -----
+
+    def size(self) -> int:
+        with self._lock:
+            return self.live
+
+    def memory_bytes(self) -> int:
+        with self._lock:
+            return (
+                self.vectors.nbytes
+                + self.deleted.nbytes
+                + self.slot_to_id.nbytes
+                + 8 * len(self.id_to_slot)
+            )
+
+    def set_ef_search(self, ef: int) -> None:  # interface parity; no beam
+        with self._lock:
+            self.params = dataclasses.replace(self.params, ef_search=ef)
+
+    def stats(self) -> FlatStats:
+        with self._lock:
+            return FlatStats(
+                nodes=self.live,
+                connections=0,
+                avg_degree=0.0,
+                max_layer=0,
+                memory_bytes=self.memory_bytes(),
+            )
+
+    # ----- mutation -----
+
+    def _reserve(self, n: int) -> None:
+        target = self.cap
+        while target < self.count + n:
+            target *= 2
+        if target != self.cap:
+            self.cap = target
+            self.vectors = _grow_to(self.vectors, target, 0.0)
+            self.deleted = _grow_to(self.deleted, target, False)
+            self.slot_to_id = _grow_to(self.slot_to_id, target, 0)
+            self._dirty = None  # shapes changed; full upload next sync
+
+    def insert(self, vector_id: int, elements: Sequence[float]) -> None:
+        self.bulk_insert([vector_id], np.asarray(elements, np.float32)[None, :])
+
+    def bulk_insert(self, ids: Sequence[int], vectors: np.ndarray) -> None:
+        with self._lock:
+            for vid in ids:
+                if int(vid) in self.id_to_slot:
+                    raise ScintireteError(
+                        ErrorCode.INVALID_PARAMETER,
+                        f"vector with ID {vid} already exists",
+                    )
+            vectors = np.asarray(vectors, np.float32)
+            if vectors.ndim != 2 or vectors.shape[1] != self.dim:
+                raise dimension_mismatch(self.dim, int(vectors.shape[-1]))
+            n = len(vectors)
+            self._reserve(n)
+            slots = np.arange(self.count, self.count + n)
+            self.vectors[slots] = vectors
+            for vid, slot in zip(ids, slots):
+                self.id_to_slot[int(vid)] = int(slot)
+                self.slot_to_id[slot] = vid
+            self.count += n
+            self.live += n
+            if self._dirty is not None:
+                self._dirty.update(slots.tolist())
+            self._version += 1
+
+    def delete(self, vector_id: int) -> bool:
+        with self._lock:
+            slot = self.id_to_slot.get(vector_id)
+            if slot is None:
+                raise ScintireteError(
+                    ErrorCode.VECTOR_NOT_FOUND, f"vector not found: {vector_id}"
+                )
+            if self.deleted[slot]:
+                return False
+            self.deleted[slot] = True
+            self.live -= 1
+            if self._dirty is not None:
+                self._dirty.add(int(slot))
+            self._version += 1
+            return True
+
+    def contains(self, vector_id: int) -> bool:
+        with self._lock:
+            slot = self.id_to_slot.get(vector_id)
+            return slot is not None and not self.deleted[slot]
+
+    def has_id(self, vector_id: int) -> bool:
+        with self._lock:
+            return vector_id in self.id_to_slot
+
+    def get_vector(self, vector_id: int) -> np.ndarray:
+        with self._lock:
+            slot = self.id_to_slot.get(vector_id)
+            if slot is None or self.deleted[slot]:
+                raise ScintireteError(
+                    ErrorCode.VECTOR_NOT_FOUND, f"vector not found: {vector_id}"
+                )
+            return self.vectors[slot].copy()
+
+    # ----- search -----
+
+    def search(
+        self, query: Sequence[float], params: SearchParams
+    ) -> list[tuple[int, float]]:
+        return self.search_batch(
+            np.asarray(query, np.float32)[None, :], params
+        )[0]
+
+    def search_batch(
+        self, queries: np.ndarray, params: SearchParams
+    ) -> list[list[tuple[int, float]]]:
+        queries = np.asarray(queries, np.float32)
+        if queries.ndim != 2 or queries.shape[1] != self.dim:
+            raise dimension_mismatch(self.dim, int(queries.shape[-1]))
+        with self._lock:
+            if self.live == 0:
+                return [[] for _ in range(queries.shape[0])]
+            k = min(params.top_k, self.live)
+            if self.use_device:
+                slots_b, dists_b = self._device_search(queries, k)
+            else:
+                slots_b, dists_b = self._host_search(queries, k)
+            ids_b = self.slot_to_id[np.maximum(slots_b, 0)].tolist()
+            valid_b = (slots_b >= 0).tolist()
+            dists_l = dists_b.tolist()
+            return [
+                [
+                    (vid, dist)
+                    for vid, dist, ok in zip(id_row, dist_row, ok_row)
+                    if ok
+                ]
+                for id_row, dist_row, ok_row in zip(ids_b, dists_l, valid_b)
+            ]
+
+    def _host_search(self, queries, k):
+        from scintirete_tpu.ops.distance import distance_np
+
+        d = distance_np(queries, self.vectors[: self.count], self.metric)
+        d = np.where(self.deleted[: self.count][None, :], np.inf, d)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :k]
+        dd = np.take_along_axis(d, idx, axis=1)
+        return np.where(np.isinf(dd), -1, idx).astype(np.int64), dd.astype(
+            np.float32
+        )
+
+    def _sync(self) -> None:
+        import jax.numpy as jnp
+
+        from scintirete_tpu.index.device import DeviceGraph, _scatter_rows
+
+        dtype = jnp.bfloat16 if self.device_dtype == "bfloat16" else jnp.float32
+        dirty = self._dirty
+        self._dirty = set()
+        if self._dev_cap != self.cap or dirty is None or not self._dev:
+            vecs = self.vectors
+            self._dev = {
+                "vectors": jnp.asarray(vecs, dtype),
+                "sq_norms": jnp.asarray(
+                    np.sum(vecs.astype(np.float32) ** 2, axis=1), jnp.float32
+                ),
+                "valid": jnp.asarray(~self.deleted & (np.arange(self.cap) < self.count)),
+            }
+            self._dev_cap = self.cap
+        elif dirty:
+            rows = np.fromiter(dirty, np.int32, len(dirty))
+            self._dev["vectors"] = DeviceGraph._scatter_into(
+                self._dev["vectors"], rows, self.vectors[rows]
+            )
+            norms = np.sum(self.vectors[rows].astype(np.float32) ** 2, axis=1)
+            self._dev["sq_norms"] = DeviceGraph._scatter_into(
+                self._dev["sq_norms"], rows, norms
+            )
+            ok = ~self.deleted[rows] & (rows < self.count)
+            self._dev["valid"] = DeviceGraph._scatter_into(
+                self._dev["valid"], rows, ok
+            )
+        self._dev_version = self._version
+
+    def _device_search(self, queries, k):
+        import jax.numpy as jnp
+
+        from scintirete_tpu.index.device import _fetch_packed
+        from scintirete_tpu.ops.flat_scan import flat_topk
+
+        if self._dev_version != self._version:
+            self._sync()
+        a = self._dev
+        B = queries.shape[0]
+        out_slots = np.empty((B, k), np.int64)
+        out_dists = np.empty((B, k), np.float32)
+        in_flight = []
+        step = self.search_batch_size
+        for start in range(0, B, step):
+            chunk = queries[start : start + step]
+            n = chunk.shape[0]
+            padded = 1 << (n - 1).bit_length()
+            if padded > n:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((padded - n, self.dim), np.float32)]
+                )
+            d, s = flat_topk(
+                jnp.asarray(chunk, jnp.float32),
+                a["vectors"],
+                a["valid"],
+                int(self.metric),
+                k,
+                a["sq_norms"],
+                recall_target=self.RECALL_TARGET,
+            )
+            in_flight.append((start, n, d, s))
+        # ONE device->host fetch for the whole batch: per-sub-batch fetches
+        # each pay a full transfer round trip (~20 ms over a tunneled TPU)
+        d_host, s_host = _fetch_packed(
+            [d for _, _, d, _ in in_flight], [s for _, _, _, s in in_flight]
+        )
+        row = 0
+        for start, n, d, s in in_flight:
+            out_dists[start : start + n] = d_host[row : row + n]
+            out_slots[start : start + n] = s_host[row : row + n]
+            row += d.shape[0]
+        return out_slots, out_dists
+
+    # ----- state export/import (RDB restore without rebuild) -----
+
+    def export_graph_state(self) -> dict[str, Any]:
+        with self._lock:
+            n = self.count
+            return {
+                "kind": "flat",
+                "dim": self.dim,
+                "metric": int(self.metric),
+                "params": dataclasses.asdict(self.params),
+                "count": n,
+                "live": self.live,
+                "vectors": self.vectors[:n].copy(),
+                "deleted": self.deleted[:n].copy(),
+                "slot_to_id": self.slot_to_id[:n].copy(),
+            }
+
+    @classmethod
+    def import_graph_state(
+        cls,
+        state: dict[str, Any],
+        device_dtype: str = "float32",
+        use_device: bool = True,
+        **kw: Any,
+    ) -> "FlatIndex":
+        idx = cls(
+            dim=int(state["dim"]),
+            params=HNSWParams(**state["params"]),
+            metric=DistanceMetric(state["metric"]),
+            device_dtype=device_dtype,
+            use_device=use_device,
+            **kw,
+        )
+        n = int(state["count"])
+        idx._reserve(n)
+        idx.count = n
+        idx.live = int(state["live"])
+        idx.vectors[:n] = state["vectors"]
+        idx.deleted[:n] = state["deleted"]
+        slot_to_id = np.asarray(state["slot_to_id"], np.uint64)
+        idx.slot_to_id[:n] = slot_to_id
+        for slot in range(n):
+            idx.id_to_slot[int(slot_to_id[slot])] = slot
+        idx._dirty = None
+        idx._version += 1
+        return idx

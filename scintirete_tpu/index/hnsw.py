@@ -36,10 +36,6 @@ class GraphStats:
 class HNSWIndex:
     """Thread-safe HNSW index keyed by uint64 vector IDs."""
 
-    # below this many live vectors, searches stay on host (dispatch overhead
-    # dominates); above it, batched device search takes over.
-    DEVICE_SEARCH_MIN_SIZE = 0  # set by engine/config; 0 = always device-eligible
-
     def __init__(
         self,
         dim: int,
@@ -49,6 +45,7 @@ class HNSWIndex:
         use_device: bool = True,
         search_batch_size: int = 256,
         build_chunk_size: int = 1024,
+        device_search_min_size: int = 0,
     ):
         params = params or HNSWParams()
         params.validate()
@@ -59,6 +56,10 @@ class HNSWIndex:
         self.use_device = use_device
         self.search_batch_size = search_batch_size
         self.build_chunk_size = build_chunk_size
+        # below this many live vectors, searches stay on host — a device
+        # dispatch costs ~ms (and ~20 ms over a tunneled TPU) while a host
+        # search of a tiny graph is microseconds (tpu.device_search_min_size)
+        self.device_search_min_size = device_search_min_size
         self._device = None  # lazy DeviceIndex
         self._lock = threading.RLock()
 
@@ -205,7 +206,7 @@ class HNSWIndex:
         with self._lock:
             if self.store.live == 0:
                 return [[] for _ in range(queries.shape[0])]
-            if self.use_device and self.store.live >= self.DEVICE_SEARCH_MIN_SIZE:
+            if self.use_device and self.store.live >= self.device_search_min_size:
                 slots_b, dists_b = self._device_search(queries, params)
             else:
                 slots_b, dists_b = self._host_search(queries, params)

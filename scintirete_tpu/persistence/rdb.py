@@ -89,10 +89,14 @@ class RDBManager:
                 )
             for colname, col in db.get("collections", {}).items():
                 graph = col.get("graph")
-                if graph is None:
-                    continue
+                if graph is None or graph.get("sharded"):
+                    continue  # per-shard states are validated on import
                 n = int(graph["count"])
-                for key in ("vectors", "levels", "deleted", "neighbors0"):
+                if graph.get("kind") == "flat":
+                    keys = ("vectors", "deleted", "slot_to_id")
+                else:
+                    keys = ("vectors", "levels", "deleted", "neighbors0")
+                for key in keys:
                     if len(graph[key]) != n:
                         raise ScintireteError(
                             ErrorCode.CORRUPTED_DATA,

@@ -171,6 +171,7 @@ class ScintireteService:
             hnsw_config=pb.HnswConfig(
                 m=info.hnsw.m, ef_construction=info.hnsw.ef_construction
             ),
+            index_type=info.index_type,
         )
 
     # ----- database RPCs (reference: grpc/database_ops.go) -----
@@ -233,11 +234,13 @@ class ScintireteService:
                 )
             else:
                 hnsw = defaults
+            index_type = req.index_type or self.config.tpu.default_index_type
             cfg = CollectionConfig(
                 name=req.collection_name,
                 metric=metric,
                 hnsw=hnsw,
                 device_dtype=self.config.tpu.device_dtype,
+                index_type=index_type,
             )
             cfg.validate()
             db = self.engine.get_database(req.db_name)
@@ -251,6 +254,7 @@ class ScintireteService:
                     # collection is built with the same selection rule
                     "hnsw": dataclasses.asdict(hnsw),
                     "device_dtype": cfg.device_dtype,
+                    "index_type": cfg.index_type,
                 },
             )
             self._audit_op(
@@ -387,7 +391,7 @@ class ScintireteService:
         return self._instrumented("Search", req.auth, op)
 
     def _batched_search(self, col, query, params):
-        key = (id(col), params.top_k, params.ef_search, params.include_vector)
+        key = (col.uid, params.top_k, params.ef_search, params.include_vector)
         return self.batcher.submit(
             key, query, lambda queries: col.search_batch(queries, params)
         )

@@ -126,6 +126,12 @@ class CollectionConfig:
     # "float32" preserves reference-exact distances; "bfloat16" doubles
     # MXU throughput and halves HBM traffic at a small recall cost.
     device_dtype: str = "float32"
+    # TPU extension: which index backs the collection.
+    #   "hnsw" — graph index, sublinear scaling + low single-query latency
+    #            (reference behavior, the default);
+    #   "flat" — exact MXU scan (index/flat.py) — recall 1.0, O(append)
+    #            builds; the throughput winner up to HBM scale.
+    index_type: str = "hnsw"
 
     def validate(self) -> None:
         from scintirete_tpu.errors import ScintireteError, ErrorCode
@@ -142,6 +148,11 @@ class CollectionConfig:
             raise ScintireteError(
                 ErrorCode.INVALID_PARAMETER,
                 f"unsupported device_dtype {self.device_dtype!r}",
+            )
+        if self.index_type not in ("hnsw", "flat"):
+            raise ScintireteError(
+                ErrorCode.INVALID_PARAMETER,
+                f"unsupported index_type {self.index_type!r}",
             )
         self.hnsw.validate()
 
@@ -180,6 +191,7 @@ class CollectionInfo:
     memory_bytes: int
     metric: DistanceMetric
     hnsw: HNSWParams
+    index_type: str = "hnsw"
 
 
 @dataclasses.dataclass

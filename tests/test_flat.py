@@ -1,0 +1,205 @@
+"""FlatIndex tests: exact-scan index surface, collection wiring, persistence.
+
+The flat index is the TPU-first serving path (ops/flat_scan.py); these tests
+run it on the CPU mesh where approx_min_k lowers to an exact reduction, so
+results must match the brute-force oracle exactly.
+"""
+
+import numpy as np
+import pytest
+
+from scintirete_tpu.engine import Collection, Engine
+from scintirete_tpu.errors import ErrorCode, ScintireteError
+from scintirete_tpu.index.flat import FlatIndex
+from scintirete_tpu.ops.distance import distance_np
+from scintirete_tpu.types import (
+    CollectionConfig,
+    DistanceMetric,
+    HNSWParams,
+    SearchParams,
+)
+
+
+def oracle_topk(queries, base, deleted, metric, k):
+    d = distance_np(queries, base, metric)
+    d = np.where(np.asarray(deleted)[None, :], np.inf, d)
+    idx = np.argsort(d, axis=1, kind="stable")[:, :k]
+    return idx, np.take_along_axis(d, idx, axis=1)
+
+
+@pytest.fixture(params=[True, False], ids=["device", "host"])
+def use_device(request):
+    return request.param
+
+
+class TestFlatIndex:
+    @pytest.mark.parametrize(
+        "metric",
+        [DistanceMetric.L2, DistanceMetric.COSINE, DistanceMetric.INNER_PRODUCT],
+    )
+    def test_exact_results_all_metrics(self, rng, metric, use_device):
+        base = rng.standard_normal((500, 16)).astype(np.float32)
+        idx = FlatIndex(dim=16, metric=metric, use_device=use_device)
+        idx.bulk_insert(list(range(1, 501)), base)
+        queries = rng.standard_normal((32, 16)).astype(np.float32)
+        res = idx.search_batch(queries, SearchParams(top_k=5))
+        want_i, want_d = oracle_topk(
+            queries, base, np.zeros(500, bool), metric, 5
+        )
+        for b in range(32):
+            got_ids = [r[0] for r in res[b]]
+            assert got_ids == [int(i) + 1 for i in want_i[b]]
+            np.testing.assert_allclose(
+                [r[1] for r in res[b]], want_d[b], rtol=1e-4, atol=1e-5
+            )
+
+    def test_delete_and_tombstone_semantics(self, rng, use_device):
+        base = rng.standard_normal((50, 8)).astype(np.float32)
+        idx = FlatIndex(dim=8, metric=DistanceMetric.L2, use_device=use_device)
+        idx.bulk_insert(list(range(1, 51)), base)
+        assert idx.delete(7) is True
+        assert idx.delete(7) is False  # double delete reports not-live
+        assert not idx.contains(7)
+        assert idx.has_id(7)
+        assert idx.size() == 49
+        with pytest.raises(ScintireteError):
+            idx.get_vector(7)
+        res = idx.search(base[6], SearchParams(top_k=50))
+        assert 7 not in [r[0] for r in res]
+        with pytest.raises(ScintireteError) as exc:
+            idx.delete(9999)
+        assert exc.value.code == ErrorCode.VECTOR_NOT_FOUND
+
+    def test_duplicate_id_rejected(self, rng):
+        idx = FlatIndex(dim=4, use_device=False)
+        idx.insert(1, [1, 0, 0, 0])
+        with pytest.raises(ScintireteError):
+            idx.insert(1, [0, 1, 0, 0])
+
+    def test_incremental_device_sync(self, rng):
+        """Inserts and deletes after the first search must be visible
+        (dirty-row scatter path)."""
+        idx = FlatIndex(dim=8, metric=DistanceMetric.L2, use_device=True)
+        base = rng.standard_normal((40, 8)).astype(np.float32)
+        idx.bulk_insert(list(range(1, 41)), base)
+        idx.search(base[0], SearchParams(top_k=1))  # forces first sync
+        extra = rng.standard_normal((8,)).astype(np.float32)
+        idx.insert(41, extra)
+        idx.delete(1)
+        res = idx.search(extra, SearchParams(top_k=41))
+        ids = [r[0] for r in res]
+        assert ids[0] == 41
+        assert 1 not in ids
+
+    def test_capacity_growth(self, rng):
+        idx = FlatIndex(dim=4, use_device=False)
+        data = rng.standard_normal((600, 4)).astype(np.float32)
+        idx.bulk_insert(list(range(1, 601)), data)  # > _MIN_CAP forces growth
+        assert idx.size() == 600
+        res = idx.search(data[599], SearchParams(top_k=1))
+        assert res[0][0] == 600
+
+    def test_state_roundtrip(self, rng, use_device):
+        base = rng.standard_normal((100, 8)).astype(np.float32)
+        idx = FlatIndex(dim=8, metric=DistanceMetric.COSINE, use_device=use_device)
+        idx.bulk_insert(list(range(1, 101)), base)
+        idx.delete(5)
+        state = idx.export_graph_state()
+        assert state["kind"] == "flat"
+        idx2 = FlatIndex.import_graph_state(state, use_device=use_device)
+        assert idx2.size() == 99
+        assert not idx2.contains(5)
+        q = rng.standard_normal((4, 8)).astype(np.float32)
+        r1 = idx.search_batch(q, SearchParams(top_k=7))
+        r2 = idx2.search_batch(q, SearchParams(top_k=7))
+        assert [[x[0] for x in row] for row in r1] == [
+            [x[0] for x in row] for row in r2
+        ]
+
+
+class TestFlatCollection:
+    CFG = lambda self: CollectionConfig(  # noqa: E731
+        name="c",
+        metric=DistanceMetric.L2,
+        hnsw=HNSWParams(seed=3),
+        index_type="flat",
+    )
+
+    def test_collection_lifecycle(self, rng):
+        col = Collection(self.CFG(), use_device=False)
+        data = rng.standard_normal((30, 8)).astype(np.float32)
+        ids = col.insert([(v, {"i": i}) for i, v in enumerate(data)])
+        assert col.info().index_type == "flat"
+        res = col.search(data[3], SearchParams(top_k=1))
+        assert res[0].id == ids[3]
+        assert col.delete([ids[0]]) == 1
+        assert col.delete([ids[0]]) == 0
+        assert col.count() == 29
+        purged = col.compact()
+        assert purged == 1
+        assert col.count() == 29
+
+    def test_snapshot_roundtrip_keeps_flat(self, rng):
+        engine = Engine(use_device=False)
+        db = engine.create_database("db")
+        col = db.create_collection(self.CFG())
+        data = rng.standard_normal((20, 8)).astype(np.float32)
+        ids = col.insert([(v, None) for v in data])
+        col.delete(ids[:3])
+        state = engine.export_state()
+        engine2 = Engine(use_device=False)
+        engine2.restore_state(state)
+        col2 = engine2.get_database("db").get_collection("c")
+        assert col2.config.index_type == "flat"
+        assert isinstance(col2._index, FlatIndex)
+        assert col2.count() == 17
+        res = col2.search(data[5], SearchParams(top_k=1))
+        assert res[0].id == ids[5]
+
+    def test_rdb_roundtrip_flat(self, rng, tmp_path):
+        """Full RDB save -> validate -> recover cycle with a flat collection
+        (regression: the validator assumed the HNSW graph schema)."""
+        from scintirete_tpu.persistence import PersistenceManager
+
+        engine = Engine(use_device=False)
+        pm = PersistenceManager(engine, str(tmp_path / "d"))
+        db = engine.create_database("db")
+        col = db.create_collection(self.CFG())
+        data = rng.standard_normal((25, 8)).astype(np.float32)
+        ids = col.insert([(v, None) for v in data])
+        col.delete([ids[0]])
+        pm.save_snapshot()
+        pm.stop()
+
+        engine2 = Engine(use_device=False)
+        pm2 = PersistenceManager(engine2, str(tmp_path / "d"))
+        info = pm2.recover()
+        assert info["rdb_loaded"]
+        col2 = engine2.get_database("db").get_collection("c")
+        assert col2.config.index_type == "flat"
+        assert isinstance(col2._index, FlatIndex)
+        assert col2.count() == 24
+        res = col2.search(data[3], SearchParams(top_k=1))
+        assert res[0].id == ids[3]
+        pm2.stop()
+
+    def test_aof_replay_keeps_flat(self, rng, tmp_path):
+        from scintirete_tpu.persistence import PersistenceManager
+
+        engine = Engine(use_device=False)
+        pm = PersistenceManager(engine, str(tmp_path / "d"))
+        engine.create_database("db")
+        pm.log_create_database("db")
+        engine.get_database("db").create_collection(self.CFG())
+        pm.log_create_collection(
+            "db", "c",
+            {"metric": int(DistanceMetric.L2), "hnsw": {"seed": 3},
+             "index_type": "flat"},
+        )
+        pm.stop()
+        engine2 = Engine(use_device=False)
+        pm2 = PersistenceManager(engine2, str(tmp_path / "d"))
+        pm2.recover()
+        col2 = engine2.get_database("db").get_collection("c")
+        assert col2.config.index_type == "flat"
+        pm2.stop()
