@@ -206,9 +206,16 @@ def _beam_converged(cand_s, cand_d, expanded):
 
 def _ef_beam_layer0(
     dist_to, neighbors0, deleted, entry_slots, entry_dists, ef, max_steps,
-    expand=SEARCH_EXPAND,
+    expand=SEARCH_EXPAND, spill=0,
 ):
-    """Layer-0 ef-beam. Entries [B, E]; returns sorted (slots, dists, steps)."""
+    """Layer-0 ef-beam. Entries [B, E]; returns sorted (slots, dists, steps).
+
+    `spill > 0` adds ONE post-convergence expansion of the `spill` nearest
+    kept candidates with their expanded-flags reset: neighbors that were
+    displaced from a small-ef list re-enter at the final merge, recovering
+    most of a larger-ef beam's recall for the cost of a single fat step
+    (one [B, spill*2M] gather+distance+merge instead of ~ef/expand thin
+    steps)."""
     B, E = entry_slots.shape
     expand = min(expand, ef)
     pad = ef - E
@@ -241,6 +248,14 @@ def _ef_beam_layer0(
     cand_s, cand_d, expanded, steps = jax.lax.while_loop(
         cond, body, (cand_s, cand_d, expanded, jnp.int32(0))
     )
+    if spill > 0:
+        cand_s, cand_d, _ = _beam_step(
+            dist_to, deleted, cand_s, cand_d,
+            jnp.zeros((B, ef), bool),  # reset flags: re-expand the nearest
+            rows_of_slots=lambda s: s,
+            nbr_lookup=lambda rows: neighbors0[rows],
+            active=jnp.ones((B,), bool), expand=min(spill, ef),
+        )
     return jnp.where(jnp.isinf(cand_d), -1, cand_s), cand_d, steps
 
 
@@ -250,7 +265,8 @@ def _ef_beam_layer0(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("metric", "ef", "k", "max_steps", "expand")
+    jax.jit,
+    static_argnames=("metric", "ef", "k", "max_steps", "expand", "spill"),
 )
 def _search_kernel_pivot(
     queries,  # [B, D] f32
@@ -266,6 +282,7 @@ def _search_kernel_pivot(
     k: int,
     max_steps: int,
     expand: int = SEARCH_EXPAND,
+    spill: int = 0,
 ):
     """TPU-first entry: ONE matmul against R sampled pivots replaces the
     upper-layer greedy descent (a pointer-chase of ~layers x moves serialized
@@ -307,7 +324,7 @@ def _search_kernel_pivot(
 
     cand_s, cand_d, steps = _ef_beam_layer0(
         dist_to, neighbors0, deleted, cur[:, None], cur_d[:, None], ef,
-        max_steps, expand=expand,
+        max_steps, expand=expand, spill=spill,
     )
     out_d = _finalize(cand_d[:, :k], metric)
     out_s = cand_s[:, :k]
@@ -316,7 +333,8 @@ def _search_kernel_pivot(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("metric", "ef", "k", "max_steps", "expand")
+    jax.jit,
+    static_argnames=("metric", "ef", "k", "max_steps", "expand", "spill"),
 )
 def _search_kernel(
     queries,  # [B, D] f32
@@ -333,6 +351,7 @@ def _search_kernel(
     k: int,
     max_steps: int,
     expand: int = SEARCH_EXPAND,
+    spill: int = 0,
 ):
     B = queries.shape[0]
     cap = vectors.shape[0]
@@ -348,7 +367,7 @@ def _search_kernel(
 
     cand_s, cand_d, steps = _ef_beam_layer0(
         dist_to, neighbors0, deleted, cur[:, None], cur_d[:, None], ef,
-        max_steps, expand=expand,
+        max_steps, expand=expand, spill=spill,
     )
     out_d = _finalize(cand_d[:, :k], metric)
     out_s = cand_s[:, :k]
@@ -701,6 +720,7 @@ class DeviceIndex:
         max_steps: int | None = None,
         entry_mode: str = "pivot",  # "pivot" (MXU entry) | "descent" (reference)
         expand: int = SEARCH_EXPAND,
+        spill: int = 0,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Returns (slots [B, k] i64, dists [B, k] f32); -1/inf padding."""
         self.sync(store)
@@ -740,6 +760,7 @@ class DeviceIndex:
                     k=k,
                     max_steps=max_steps,
                     expand=expand,
+                    spill=spill,
                 )
             else:
                 d, s, _ = _search_kernel(
@@ -757,6 +778,7 @@ class DeviceIndex:
                     k=k,
                     max_steps=max_steps,
                     expand=expand,
+                    spill=spill,
                 )
             in_flight.append((start, n, d, s))
         d_host, s_host = _fetch_packed(

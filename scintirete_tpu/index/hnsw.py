@@ -121,8 +121,11 @@ class HNSWIndex:
             self._register_slot(vector_id, slot)
 
     def bulk_insert(self, ids: Sequence[int], vectors: np.ndarray) -> None:
-        """Chunked bulk build (device-assisted path plugs in here)."""
-        from scintirete_tpu.index import bulk
+        """Bulk build: from-scratch builds of device-eligible size use the
+        exact-kNN constructor (index/knn_build.py — dense MXU phases, no
+        sequential insertion); everything else takes the chunked
+        device-assisted incremental path (index/bulk.py)."""
+        from scintirete_tpu.index import bulk, knn_build
 
         with self._lock:
             for vid in ids:
@@ -136,11 +139,18 @@ class HNSWIndex:
                 from scintirete_tpu.errors import dimension_mismatch
 
                 raise dimension_mismatch(self.store.dim, int(vectors.shape[-1]))
-            device = self._get_device() if self.use_device else None
-            slots = bulk.bulk_insert(
-                self.store, vectors, device=device,
-                chunk_size=self.build_chunk_size,
-            )
+            if (
+                self.use_device
+                and self.store.count == 0
+                and len(vectors) >= knn_build.MIN_BUILD_SIZE
+            ):
+                slots = knn_build.build(self.store, vectors)
+            else:
+                device = self._get_device() if self.use_device else None
+                slots = bulk.bulk_insert(
+                    self.store, vectors, device=device,
+                    chunk_size=self.build_chunk_size,
+                )
             for vid, slot in zip(ids, slots):
                 self._register_slot(int(vid), int(slot))
 

@@ -1,0 +1,181 @@
+"""Exact-kNN bulk builder tests (index/knn_build.py).
+
+Runs on the CPU mesh. Gates: structural invariants (degree bounds, layer
+membership, entrypoint), searchability (device + host oracle recall vs
+brute force), and parity of the selection rules with the host oracle.
+"""
+
+import numpy as np
+import pytest
+
+from scintirete_tpu.index import HNSWIndex, host_algo, knn_build
+from scintirete_tpu.index.store import GraphStore
+from scintirete_tpu.ops.distance import distance_np
+from scintirete_tpu.types import DistanceMetric, HNSWParams, SearchParams
+
+
+def clustered(rng, n, dim=24, n_clusters=20):
+    centers = rng.standard_normal((n_clusters, dim)).astype(np.float32) * 2.0
+    assign = rng.integers(0, n_clusters, n)
+    return (centers[assign] + 0.3 * rng.standard_normal((n, dim))).astype(
+        np.float32
+    )
+
+
+def brute_topk(queries, base, metric, k):
+    d = distance_np(queries, base, metric)
+    return np.argsort(d, axis=1, kind="stable")[:, :k]
+
+
+@pytest.mark.parametrize("heuristic", [False, True], ids=["simple", "heur"])
+@pytest.mark.parametrize(
+    "metric",
+    [DistanceMetric.L2, DistanceMetric.COSINE, DistanceMetric.INNER_PRODUCT],
+)
+def test_structure_and_recall(rng, metric, heuristic):
+    n = 1500
+    base = clustered(rng, n)
+    params = HNSWParams(
+        m=8, ef_construction=60, ef_search=50, seed=11,
+        neighbor_heuristic=heuristic,
+    )
+    store = GraphStore(dim=base.shape[1], params=params, metric=metric)
+    slots = knn_build.build(store, base)
+    assert slots == list(range(n))
+    assert store.live == n
+    assert store.entry_slot >= 0
+    assert store.max_layer == int(store.levels[:n].max())
+
+    # degree bounds + layer membership invariant
+    assert store.neighbors0.shape[1] == 2 * params.m
+    valid0 = store.neighbors0[:n]
+    assert (valid0 < n).all()
+    for l, ls in enumerate(store.layers, start=1):
+        nm = ls.count
+        nbrs = ls.nbrs[:nm]
+        ok = nbrs >= 0
+        members = nbrs[ok]
+        # every neighbor at layer l is a member of layer l
+        assert (ls.row_of[members] >= 0).all()
+        # no self loops
+        assert (nbrs != ls.node_slot[:nm, None]).all()
+    # layer-0 no self loops
+    assert (valid0 != np.arange(n)[:, None]).all()
+
+    # host-oracle search over the built graph must match (or beat) a
+    # sequentially-built graph on the same data — the reference's simple
+    # selection rule legitimately fragments clustered data, so the gate is
+    # parity with the sequential oracle, not an absolute number
+    queries = clustered(rng, 64, dim=base.shape[1])
+    want = brute_topk(queries, base, metric, 10)
+
+    seq_store = GraphStore(dim=base.shape[1], params=params, metric=metric)
+    for v in base:
+        host_algo.insert(seq_store, v)
+
+    def recall_of(s):
+        hits = 0
+        for i, q in enumerate(queries):
+            got, _ = host_algo.search(s, q, 10, 60)
+            hits += len(set(got.tolist()) & set(want[i].tolist()))
+        return hits / (64 * 10)
+
+    knn_recall = recall_of(store)
+    seq_recall = recall_of(seq_store)
+    assert knn_recall >= seq_recall - 0.03, (
+        f"knn-built recall {knn_recall:.3f} < sequential {seq_recall:.3f}"
+    )
+    if heuristic and metric != DistanceMetric.INNER_PRODUCT:
+        # IP "nearest" favors large norms; OOD queries make an absolute gate
+        # unprincipled there — the oracle-parity gate above still applies
+        assert knn_recall >= 0.85, f"heuristic recall {knn_recall:.3f}"
+
+
+def test_bulk_insert_uses_knn_builder_and_searches(rng):
+    n = max(knn_build.MIN_BUILD_SIZE, 2048)
+    base = clustered(rng, n, dim=16)
+    idx = HNSWIndex(
+        dim=16,
+        params=HNSWParams(m=8, ef_construction=60, ef_search=60, seed=7,
+                          neighbor_heuristic=True),
+        metric=DistanceMetric.COSINE,
+        use_device=True,
+        search_batch_size=256,
+    )
+    idx.bulk_insert(list(range(1, n + 1)), base)
+    # realistic workload: queries are perturbed base points
+    queries = (base[rng.integers(0, n, 128)]
+               + 0.1 * rng.standard_normal((128, 16))).astype(np.float32)
+    want = brute_topk(queries, base, DistanceMetric.COSINE, 10)
+    res = idx.search_batch(queries, SearchParams(top_k=10, ef_search=80))
+    hits = 0
+    for i in range(128):
+        got = {r[0] - 1 for r in res[i]}
+        hits += len(got & set(want[i].tolist()))
+    recall = hits / (128 * 10)
+    assert recall >= 0.92, f"device search recall {recall:.3f}"
+
+
+def test_incremental_insert_after_knn_build(rng):
+    """Online inserts/deletes must compose with a kNN-built graph."""
+    n = 2048
+    base = clustered(rng, n, dim=16)
+    idx = HNSWIndex(
+        dim=16,
+        params=HNSWParams(m=8, ef_construction=60, ef_search=60, seed=7),
+        metric=DistanceMetric.L2,
+        use_device=True,
+        search_batch_size=256,
+    )
+    idx.bulk_insert(list(range(1, n + 1)), base)
+    # in-distribution online inserts (perturbed base points)
+    extra = (base[rng.integers(0, n, 5)]
+             + 0.05 * rng.standard_normal((5, 16))).astype(np.float32)
+    for i, v in enumerate(extra):
+        idx.insert(n + 1 + i, v)
+    assert idx.size() == n + 5
+    res = idx.search(extra[0], SearchParams(top_k=3))
+    assert res[0][0] == n + 1
+    assert idx.delete(n + 1) is True
+    res = idx.search(extra[0], SearchParams(top_k=3))
+    assert n + 1 not in [r[0] for r in res]
+
+
+def test_knn_build_deterministic(rng):
+    base = clustered(rng, 600, dim=12)
+    out = []
+    for _ in range(2):
+        store = GraphStore(
+            dim=12,
+            params=HNSWParams(m=6, seed=3),
+            metric=DistanceMetric.COSINE,
+        )
+        knn_build.build(store, base)
+        out.append(
+            (store.neighbors0[:600].copy(), store.levels[:600].copy())
+        )
+    np.testing.assert_array_equal(out[0][0], out[1][0])
+    np.testing.assert_array_equal(out[0][1], out[1][1])
+
+
+def test_reverse_edges_present(rng):
+    """The bidirectional merge must actually add reverse edges: a node that
+    nobody selects forward still appears in lists of nodes it selected."""
+    base = clustered(rng, 400, dim=8)
+    store = GraphStore(
+        dim=8, params=HNSWParams(m=4, seed=1), metric=DistanceMetric.L2
+    )
+    knn_build.build(store, base)
+    n = 400
+    # count mutual edges: u in adj[v] and v in adj[u]
+    mutual = 0
+    total = 0
+    for u in range(n):
+        for v in store.neighbors0[u]:
+            if v < 0:
+                continue
+            total += 1
+            if u in store.neighbors0[v]:
+                mutual += 1
+    assert total > 0
+    assert mutual / total > 0.5, "graph should be substantially bidirectional"
