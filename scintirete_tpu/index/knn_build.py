@@ -52,6 +52,17 @@ def _pad_pow2(n: int, minimum: int = 256) -> int:
     return 1 << (n - 1).bit_length()
 
 
+def _pad_pow4(n: int, minimum: int = 256) -> int:
+    """Pow-4 ladder: fewer distinct device shapes (each XLA variant costs a
+    multi-minute remote compile on a tunneled TPU) at <=4x padding waste on
+    the small early rounds."""
+    n = max(n, minimum)
+    p = minimum
+    while p < n:
+        p *= 4
+    return p
+
+
 # ---------------------------------------------------------------------------
 # device kernels (built lazily; cached across calls)
 # ---------------------------------------------------------------------------
@@ -175,47 +186,6 @@ def _kernels():
         out_d = jnp.where(out_key < 2, out_d, INF)
         return out_i, out_d
 
-    @functools.partial(jax.jit, static_argnames=("max_deg",))
-    def incoming_edges(
-        adj,  # [Nm, F] forward-selected neighbor indices (-1 pad)
-        adj_d,  # [Nm, F]
-        max_deg: int,
-    ):
-        """Reverse edges capped at the nearest max_deg per target.
-
-        Returns (inc_i [Nm, max_deg], inc_d) — for every forward edge u->v,
-        u becomes an incoming candidate of v. Capping incoming at the
-        nearest max_deg per target is exact: an incoming edge farther than
-        max_deg nearer incoming edges can never survive the final prune."""
-        Nm, F = adj.shape
-        E = Nm * F
-        src = jnp.repeat(
-            jnp.arange(Nm, dtype=jnp.int32)[:, None], F, axis=1
-        ).reshape(E)
-        dst = adj.reshape(E)
-        d = adj_d.reshape(E)
-        dst_key = jnp.where(dst >= 0, dst, Nm)  # invalid sorts last
-        dst_s, d_s, src_s = jax.lax.sort((dst_key, d, src), num_keys=2)
-        iota = jnp.arange(E, dtype=jnp.int32)
-        new_grp = jnp.concatenate(
-            [jnp.ones(1, bool), dst_s[1:] != dst_s[:-1]]
-        )
-        grp_start = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(new_grp, iota, 0)
-        )
-        pos = iota - grp_start
-        keep = (pos < max_deg) & (dst_s < Nm)
-        row = jnp.where(keep, dst_s, Nm)  # OOB rows dropped by the scatter
-        inc_i = jnp.full((Nm, max_deg), -1, jnp.int32)
-        inc_d = jnp.full((Nm, max_deg), INF)
-        inc_i = inc_i.at[row, pos % max_deg].set(
-            jnp.where(keep, src_s, -1), mode="drop"
-        )
-        inc_d = inc_d.at[row, pos % max_deg].set(
-            jnp.where(keep, d_s, INF), mode="drop"
-        )
-        return inc_i, inc_d
-
     @jax.jit
     def merge_dedupe(fwd_i, fwd_d, inc_i, inc_d):
         """(forward u incoming) per row: dedupe, sorted by distance asc."""
@@ -234,9 +204,46 @@ def _kernels():
     return {
         "knn_block": knn_block,
         "select_block": select_block,
-        "incoming_edges": incoming_edges,
         "merge_dedupe": merge_dedupe,
     }
+
+
+def _incoming_host(
+    fwd_i: np.ndarray,  # [Nm, F] forward-selected neighbors (-1 pad)
+    fwd_d: np.ndarray,
+    max_deg: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Reverse edges capped at the nearest max_deg per target (host numpy).
+
+    For every forward edge u->v, u becomes an incoming candidate of v.
+    Capping incoming at the nearest max_deg per target is exact: an edge
+    farther than max_deg nearer incoming edges can never survive the final
+    prune. Runs on host: a global sort of a few-million-edge 1D array is
+    ~1 s of numpy lexsort but minutes of bitonic passes on a TPU (device
+    sorts are efficient along the minor axis, not for one giant row)."""
+    nm, F = fwd_i.shape
+    src = np.repeat(np.arange(nm, dtype=np.int32), F)
+    dst = fwd_i.reshape(-1)
+    d = fwd_d.reshape(-1)
+    valid = dst >= 0
+    src, dst, d = src[valid], dst[valid], d[valid]
+    inc_i = np.full((nm, max_deg), -1, np.int32)
+    inc_d = np.full((nm, max_deg), np.inf, np.float32)
+    if len(dst) == 0:
+        return inc_i, inc_d
+    order = np.lexsort((d, dst))  # by target, then distance
+    dst, src, d = dst[order], src[order], d[order]
+    E = len(dst)
+    iota = np.arange(E)
+    new_grp = np.empty(E, bool)
+    new_grp[0] = True
+    new_grp[1:] = dst[1:] != dst[:-1]
+    grp_start = np.maximum.accumulate(np.where(new_grp, iota, 0))
+    pos = iota - grp_start
+    keep = pos < max_deg
+    inc_i[dst[keep], pos[keep]] = src[keep]
+    inc_d[dst[keep], pos[keep]] = d[keep]
+    return inc_i, inc_d
 
 
 # ---------------------------------------------------------------------------
@@ -256,7 +263,13 @@ def _scan_rounds(
     diversity heuristic (late rows otherwise see only local neighbors; early
     rows get this for free from their small round). Returns
     (cand_i [Nm, c + n_sparse], cand_d), deduplicated, distance-ascending,
-    in member order."""
+    in member order.
+
+    Shape discipline: every XLA variant costs a fresh (multi-minute, on a
+    tunneled TPU) compile, so all rounds share ONE padded base buffer with
+    an n_valid prefix mask, and every query block is padded to _QBLOCK.
+    Masked-out columns still burn MXU flops (~1.5x the minimal doubling-
+    round cost) — far cheaper than a compile per round shape."""
     import jax.numpy as jnp
 
     K = _kernels()
@@ -264,41 +277,43 @@ def _scan_rounds(
     cand_i = np.full((nm, c), -1, np.int32)
     cand_d = np.full((nm, c), np.inf, np.float32)
 
+    npad = _pad_pow2(nm, minimum=_ROUND0 * 2)
+    base = np.zeros((npad, dim), np.float32)
+    base[:nm] = member_vecs
+    base_j = jnp.asarray(base)
+    base_sq = jnp.sum(base_j.astype(jnp.float32) ** 2, axis=1)
+    tile = min(_TILE, npad)
+
+    def scan_block(qs, qe, n_valid, cc):
+        qb = np.zeros((_QBLOCK, dim), np.float32)
+        qb[: qe - qs] = member_vecs[qs:qe]
+        self_idx = np.full(_QBLOCK, -1, np.int32)
+        self_idx[: qe - qs] = np.arange(qs, qe, dtype=np.int32)
+        return K["knn_block"](
+            jnp.asarray(qb),
+            jnp.asarray(self_idx),
+            base_j,
+            base_sq,
+            jnp.int32(n_valid),
+            metric=metric,
+            c=cc,
+            tile=tile,
+        )
+
     start = 0
     prefix = min(_ROUND0, nm)
+    in_flight = []
     while start < nm:
         stop = prefix  # this round covers rows [start, prefix)
-        npad = _pad_pow2(prefix)
-        base = np.zeros((npad, dim), np.float32)
-        base[:prefix] = member_vecs[:prefix]
-        base_j = jnp.asarray(base)
-        base_sq = jnp.sum(base_j.astype(jnp.float32) ** 2, axis=1)
-        tile = min(_TILE, npad)
-        cc = min(c, max(prefix - 1, 1))
-        in_flight = []
         for qs in range(start, stop, _QBLOCK):
             qe = min(qs + _QBLOCK, stop)
-            bq = _pad_pow2(qe - qs, minimum=64)
-            qb = np.zeros((bq, dim), np.float32)
-            qb[: qe - qs] = member_vecs[qs:qe]
-            self_idx = np.full(bq, -1, np.int32)
-            self_idx[: qe - qs] = np.arange(qs, qe, dtype=np.int32)
-            cd, ci = K["knn_block"](
-                jnp.asarray(qb),
-                jnp.asarray(self_idx),
-                base_j,
-                base_sq,
-                jnp.int32(prefix),
-                metric=metric,
-                c=cc,
-                tile=tile,
-            )
+            cd, ci = scan_block(qs, qe, prefix, c)
             in_flight.append((qs, qe, ci, cd))
-        for qs, qe, ci, cd in in_flight:
-            cand_i[qs:qe, :cc] = np.asarray(ci)[: qe - qs]
-            cand_d[qs:qe, :cc] = np.asarray(cd)[: qe - qs]
         start = stop
         prefix = min(prefix * 2, nm)
+    for qs, qe, ci, cd in in_flight:
+        cand_i[qs:qe] = np.asarray(ci)[: qe - qs]
+        cand_d[qs:qe] = np.asarray(cd)[: qe - qs]
 
     sparse = min(_ROUND0, nm)
     ns = min(n_sparse, max(sparse - 1, 1))
@@ -306,34 +321,103 @@ def _scan_rounds(
         return cand_i, cand_d
     sp_i = np.full((nm, ns), -1, np.int32)
     sp_d = np.full((nm, ns), np.inf, np.float32)
-    npad = _pad_pow2(sparse)
-    base = np.zeros((npad, dim), np.float32)
-    base[:sparse] = member_vecs[:sparse]
-    base_j = jnp.asarray(base)
-    base_sq = jnp.sum(base_j.astype(jnp.float32) ** 2, axis=1)
     in_flight = []
     for qs in range(0, nm, _QBLOCK):
         qe = min(qs + _QBLOCK, nm)
-        bq = _pad_pow2(qe - qs, minimum=64)
-        qb = np.zeros((bq, dim), np.float32)
-        qb[: qe - qs] = member_vecs[qs:qe]
-        self_idx = np.full(bq, -1, np.int32)
-        self_idx[: qe - qs] = np.arange(qs, qe, dtype=np.int32)
-        cd, ci = K["knn_block"](
-            jnp.asarray(qb), jnp.asarray(self_idx), base_j, base_sq,
-            jnp.int32(sparse), metric=metric, c=ns, tile=npad,
-        )
+        cd, ci = scan_block(qs, qe, sparse, ns)
         in_flight.append((qs, qe, ci, cd))
     for qs, qe, ci, cd in in_flight:
         sp_i[qs:qe] = np.asarray(ci)[: qe - qs]
         sp_d[qs:qe] = np.asarray(cd)[: qe - qs]
 
-    # merge + dedupe (rows with an empty sparse part just keep their list)
+    # merge + dedupe on device (rows with an empty sparse part keep their
+    # list); rows padded to the shared pow2 ladder to bound compile variants
+    rp = _pad_pow2(nm, minimum=_QBLOCK)
+
+    def padded(a, fill):
+        out = np.full((rp,) + a.shape[1:], fill, a.dtype)
+        out[:nm] = a
+        return out
+
     mi, md = K["merge_dedupe"](
-        jnp.asarray(cand_i), jnp.asarray(cand_d),
-        jnp.asarray(sp_i), jnp.asarray(sp_d),
+        jnp.asarray(padded(cand_i, -1)),
+        jnp.asarray(padded(cand_d, np.float32(np.inf))),
+        jnp.asarray(padded(sp_i, -1)),
+        jnp.asarray(padded(sp_d, np.float32(np.inf))),
     )
-    return np.asarray(mi), np.asarray(md)
+    return np.asarray(mi)[:nm], np.asarray(md)[:nm]
+
+
+# layers at or below this size build on the host (numpy): a device build of
+# a tiny layer costs more in dispatch latency and one-off shape compiles
+# than the whole O(nm^2) host computation
+HOST_LAYER_MAX = 1024
+
+
+def _select_host(cand_i, cand_d, member_vecs, metric, max_deg, heuristic):
+    """Host mirror of select_block for one node (tiny layers)."""
+    valid = cand_i >= 0
+    ci, cd = cand_i[valid], cand_d[valid]
+    if not heuristic or len(ci) <= max_deg:
+        return ci[:max_deg]
+    from scintirete_tpu.ops.distance import distance_np
+
+    selected: list[int] = []
+    pruned: list[int] = []
+    for idx, d in zip(ci, cd):
+        if len(selected) == max_deg:
+            break
+        if selected:
+            ds = distance_np(
+                member_vecs[idx], member_vecs[np.asarray(selected)], metric
+            )
+            if (ds <= d).any():
+                pruned.append(int(idx))
+                continue
+        selected.append(int(idx))
+    for idx in pruned:
+        if len(selected) == max_deg:
+            break
+        selected.append(idx)
+    return np.asarray(selected[:max_deg], np.int32)
+
+
+def _build_layer_host(
+    member_vecs: np.ndarray, metric: int, max_deg: int,
+    n_candidates: int, heuristic: bool,
+) -> np.ndarray:
+    """Pure-numpy layer build for tiny layers (same phases as the device)."""
+    from scintirete_tpu.ops.distance import distance_np
+
+    nm = len(member_vecs)
+    c = min(n_candidates + 24, nm - 1)
+    d = distance_np(member_vecs, member_vecs, metric)
+    np.fill_diagonal(d, np.inf)
+    order = np.argsort(d, axis=1, kind="stable")[:, :c]
+    cand_d = np.take_along_axis(d, order, axis=1)
+    fwd = np.full((nm, max_deg), -1, np.int32)
+    for i in range(nm):
+        sel = _select_host(
+            order[i].astype(np.int32), cand_d[i], member_vecs, metric,
+            max_deg, heuristic,
+        )
+        fwd[i, : len(sel)] = sel
+    # reverse edges + final selection over (forward u incoming)
+    incoming: dict[int, list[int]] = {i: [] for i in range(nm)}
+    for u in range(nm):
+        for v in fwd[u]:
+            if v >= 0:
+                incoming[int(v)].append(u)
+    out = np.full((nm, max_deg), -1, np.int32)
+    for i in range(nm):
+        cands = [v for v in fwd[i] if v >= 0] + incoming[i]
+        cands = list(dict.fromkeys(cands))  # dedupe, keep order
+        cd = d[i, cands] if cands else np.empty(0, np.float32)
+        o = np.argsort(cd, kind="stable")
+        ci = np.asarray(cands, np.int32)[o]
+        sel = _select_host(ci, cd[o], member_vecs, metric, max_deg, heuristic)
+        out[i, : len(sel)] = sel
+    return out
 
 
 def _build_layer(
@@ -346,8 +430,13 @@ def _build_layer(
     """Adjacency [Nm, max_deg] in member-index space (-1 padded)."""
     import jax.numpy as jnp
 
-    K = _kernels()
     nm, dim = member_vecs.shape
+    if nm <= HOST_LAYER_MAX:
+        return _build_layer_host(
+            member_vecs, metric, max_deg, n_candidates, heuristic
+        )
+
+    K = _kernels()
     c = min(n_candidates, max(nm - 1, 1))
     cand_i, cand_d = _scan_rounds(member_vecs, metric, c)
     c = cand_i.shape[1]  # sparse augmentation may widen the pool
@@ -356,60 +445,53 @@ def _build_layer(
     base = np.zeros((npad, dim), np.float32)
     base[:nm] = member_vecs
     base_j = jnp.asarray(base)
+    rp = _pad_pow2(nm, minimum=_QBLOCK)  # row pad for whole-layer dispatches
 
-    # phase 2: forward selection (tiled over rows)
-    fwd_i = np.full((nm, max_deg), -1, np.int32)
-    fwd_d = np.full((nm, max_deg), np.inf, np.float32)
-    in_flight = []
-    for qs in range(0, nm, _QBLOCK):
-        qe = min(qs + _QBLOCK, nm)
-        bq = _pad_pow2(qe - qs, minimum=64)
-        ci = np.full((bq, c), -1, np.int32)
-        cd = np.full((bq, c), np.inf, np.float32)
-        ci[: qe - qs] = cand_i[qs:qe]
-        cd[: qe - qs] = cand_d[qs:qe]
-        si, sd = K["select_block"](
-            jnp.asarray(ci), jnp.asarray(cd), base_j,
-            metric=metric, max_deg=max_deg, heuristic=heuristic,
-        )
-        in_flight.append((qs, qe, si, sd))
-    for qs, qe, si, sd in in_flight:
-        si_np = np.asarray(si)[: qe - qs]
-        sd_np = np.asarray(sd)[: qe - qs]
-        w = min(si_np.shape[1], max_deg)
-        fwd_i[qs:qe, :w] = si_np[:, :w]
-        fwd_d[qs:qe, :w] = sd_np[:, :w]
+    def select_rows(ci_all, cd_all, width):
+        """Tiled forward selection with fixed [_QBLOCK, width] shapes."""
+        out_i = np.full((nm, max_deg), -1, np.int32)
+        out_d = np.full((nm, max_deg), np.inf, np.float32)
+        in_flight = []
+        for qs in range(0, nm, _QBLOCK):
+            qe = min(qs + _QBLOCK, nm)
+            ci = np.full((_QBLOCK, width), -1, np.int32)
+            cd = np.full((_QBLOCK, width), np.inf, np.float32)
+            ci[: qe - qs] = ci_all[qs:qe]
+            cd[: qe - qs] = cd_all[qs:qe]
+            si, sd = K["select_block"](
+                jnp.asarray(ci), jnp.asarray(cd), base_j,
+                metric=metric, max_deg=max_deg, heuristic=heuristic,
+            )
+            in_flight.append((qs, qe, si, sd))
+        for qs, qe, si, sd in in_flight:
+            si_np = np.asarray(si)[: qe - qs]
+            sd_np = np.asarray(sd)[: qe - qs]
+            w = min(si_np.shape[1], max_deg)
+            out_i[qs:qe, :w] = si_np[:, :w]
+            out_d[qs:qe, :w] = sd_np[:, :w]
+        return out_i, out_d
 
-    # phase 3: reverse edges (one dispatch over the layer)
-    inc_i, inc_d = K["incoming_edges"](
-        jnp.asarray(fwd_i), jnp.asarray(fwd_d), max_deg=max_deg
-    )
+    # phase 2: forward selection
+    fwd_i, fwd_d = select_rows(cand_i, cand_d, c)
+
+    # phase 3: reverse edges + merge (row-padded whole-layer dispatches)
+    def padded(a, fill):
+        out = np.full((rp,) + a.shape[1:], fill, a.dtype)
+        out[:nm] = a
+        return out
+
+    inc_i, inc_d = _incoming_host(fwd_i, fwd_d, max_deg)
     mrg_i, mrg_d = K["merge_dedupe"](
-        jnp.asarray(fwd_i), jnp.asarray(fwd_d), inc_i, inc_d
+        jnp.asarray(padded(fwd_i, -1)),
+        jnp.asarray(padded(fwd_d, np.float32(np.inf))),
+        jnp.asarray(padded(inc_i, -1)),
+        jnp.asarray(padded(inc_d, np.float32(np.inf))),
     )
-    mrg_i = np.asarray(mrg_i)
-    mrg_d = np.asarray(mrg_d)
+    mrg_i = np.asarray(mrg_i)[:nm]
+    mrg_d = np.asarray(mrg_d)[:nm]
 
     # phase 4: final prune with the selection rule over (forward u incoming)
-    out = np.full((nm, max_deg), -1, np.int32)
-    cm = mrg_i.shape[1]
-    in_flight = []
-    for qs in range(0, nm, _QBLOCK):
-        qe = min(qs + _QBLOCK, nm)
-        bq = _pad_pow2(qe - qs, minimum=64)
-        ci = np.full((bq, cm), -1, np.int32)
-        cd = np.full((bq, cm), np.inf, np.float32)
-        ci[: qe - qs] = mrg_i[qs:qe]
-        cd[: qe - qs] = mrg_d[qs:qe]
-        si, _ = K["select_block"](
-            jnp.asarray(ci), jnp.asarray(cd), base_j,
-            metric=metric, max_deg=max_deg, heuristic=heuristic,
-        )
-        in_flight.append((qs, qe, si))
-    for qs, qe, si in in_flight:
-        si_np = np.asarray(si)[: qe - qs]
-        w = min(si_np.shape[1], max_deg)
-        out[qs:qe, :w] = si_np[:, :w]
+    out, _ = select_rows(mrg_i, mrg_d, mrg_i.shape[1])
     return out
 
 
