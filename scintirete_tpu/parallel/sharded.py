@@ -339,13 +339,12 @@ class ShardedHNSWIndex:
                 self.subs[s].bulk_insert([ids[i] for i in sel], vectors[sel])
         self._insert_cursor = (self._insert_cursor + len(ids)) % self.S
 
-    def delete(self, vector_id: int) -> None:
+    def delete(self, vector_id: int) -> bool:
         from scintirete_tpu.errors import ErrorCode, ScintireteError
 
         for sub in self.subs:
             if vector_id in sub.id_to_slot:
-                sub.delete(vector_id)
-                return
+                return sub.delete(vector_id)
         raise ScintireteError(
             ErrorCode.VECTOR_NOT_FOUND, f"vector not found: {vector_id}"
         )
