@@ -34,6 +34,7 @@ from scintirete_tpu.types import (
     SearchResult,
     Vector,
 )
+from scintirete_tpu.utils.rwlock import RWLock
 
 
 class Collection:
@@ -43,7 +44,12 @@ class Collection:
         self._tpu = tpu_config
         self.config = config
         self.name = config.name
-        self._lock = threading.RLock()
+        # readers (search/get/info/export) share; writers serialize on _mu
+        # and take _rw.write() only for short state mutations, so searches
+        # keep flowing during long index builds (reference: collection.go
+        # guards with sync.RWMutex but holds it across whole inserts)
+        self._rw = RWLock()
+        self._mu = threading.RLock()
         self._dim: Optional[int] = None  # fixed by the first inserted vector
         self._index: Optional[HNSWIndex] = None
         self._metadata: dict[int, Optional[dict[str, Any]]] = {}
@@ -126,29 +132,41 @@ class Collection:
         (reference: collection.go:71-149 — nextID++ per vector)."""
         if not vectors:
             return []
-        with self._lock:
-            mats = [np.asarray(e, np.float32) for e, _ in vectors]
-            for m in mats:
-                if m.ndim != 1:
-                    raise ScintireteError(
-                        ErrorCode.INVALID_PARAMETER, "vector must be 1-D"
-                    )
-            dims = {m.shape[0] for m in mats}
-            if len(dims) != 1:
+        mats = [np.asarray(e, np.float32) for e, _ in vectors]
+        for m in mats:
+            if m.ndim != 1:
                 raise ScintireteError(
-                    ErrorCode.DIMENSION_MISMATCH,
-                    f"vectors in one batch have mixed dimensions: {sorted(dims)}",
+                    ErrorCode.INVALID_PARAMETER, "vector must be 1-D"
                 )
-            dim = dims.pop()
-            self._check_dim(dim)
-            index = self._ensure_index(dim)
-
-            ids = [self._next_id + i for i in range(len(mats))]
-            index.bulk_insert(ids, np.stack(mats))
-            self._next_id += len(mats)
-            for vid, (_, meta) in zip(ids, vectors):
-                self._metadata[vid] = dict(meta) if meta else None
-            self.updated_at = time.time()
+        dims = {m.shape[0] for m in mats}
+        if len(dims) != 1:
+            raise ScintireteError(
+                ErrorCode.DIMENSION_MISMATCH,
+                f"vectors in one batch have mixed dimensions: {sorted(dims)}",
+            )
+        dim = dims.pop()
+        with self._mu:
+            with self._rw.write():
+                self._check_dim(dim)
+                index = self._ensure_index(dim)
+                ids = [self._next_id + i for i in range(len(mats))]
+                self._next_id += len(mats)
+                # metadata lands BEFORE the vectors become searchable; a
+                # concurrent search can then never surface an id whose
+                # metadata is missing
+                for vid, (_, meta) in zip(ids, vectors):
+                    self._metadata[vid] = dict(meta) if meta else None
+            try:
+                # long build: the index interleaves its own readers at chunk
+                # boundaries; the collection read side stays open throughout
+                index.bulk_insert(ids, np.stack(mats))
+            except BaseException:
+                with self._rw.write():
+                    for vid in ids:
+                        self._metadata.pop(vid, None)
+                raise
+            with self._rw.write():
+                self.updated_at = time.time()
             return ids
 
     def insert_with_ids(
@@ -161,21 +179,29 @@ class Collection:
         (reference: collection.go:316-324 updateNextID)."""
         if not vectors:
             return
-        with self._lock:
-            ids = [int(vid) for vid, _, _ in vectors]
-            mats = np.stack([np.asarray(e, np.float32) for _, e, _ in vectors])
-            self._check_dim(mats.shape[1])
-            index = self._ensure_index(mats.shape[1])
-            index.bulk_insert(ids, mats)
-            for vid, (_, _, meta) in zip(ids, vectors):
-                self._metadata[vid] = dict(meta) if meta else None
-            self._next_id = max(self._next_id, max(ids) + 1)
-            self.updated_at = time.time()
+        ids = [int(vid) for vid, _, _ in vectors]
+        mats = np.stack([np.asarray(e, np.float32) for _, e, _ in vectors])
+        with self._mu:
+            with self._rw.write():
+                self._check_dim(mats.shape[1])
+                index = self._ensure_index(mats.shape[1])
+                for vid, (_, _, meta) in zip(ids, vectors):
+                    self._metadata[vid] = dict(meta) if meta else None
+                self._next_id = max(self._next_id, max(ids) + 1)
+            try:
+                index.bulk_insert(ids, mats)
+            except BaseException:
+                with self._rw.write():
+                    for vid in ids:
+                        self._metadata.pop(vid, None)
+                raise
+            with self._rw.write():
+                self.updated_at = time.time()
 
     def delete(self, ids: Sequence[int]) -> int:
         """Soft-delete; returns how many were actually deleted
         (reference: collection.go:152-190 — missing IDs are skipped)."""
-        with self._lock:
+        with self._mu, self._rw.write():
             deleted = 0
             if self._index is None:
                 return 0
@@ -196,7 +222,10 @@ class Collection:
     def compact(self) -> int:
         """Physically purge tombstones by rebuilding the index from live
         vectors (reference: collection.go:283-313). Returns purged count."""
-        with self._lock:
+        with self._mu:
+            # _mu excludes all writers for the whole rebuild, so the live
+            # set cannot change under us; readers keep searching the OLD
+            # index until the atomic swap below
             if self._index is None:
                 return 0
             purged = self._deleted_count
@@ -206,13 +235,16 @@ class Collection:
             if live_ids:
                 mats = np.stack([old.get_vector(vid) for vid in live_ids])
                 new_index.bulk_insert(live_ids, mats)
-            self._index = new_index
-            live_set = set(live_ids)
-            self._metadata = {
-                vid: meta for vid, meta in self._metadata.items() if vid in live_set
-            }
-            self._deleted_count = 0
-            self.updated_at = time.time()
+            with self._rw.write():
+                self._index = new_index
+                live_set = set(live_ids)
+                self._metadata = {
+                    vid: meta
+                    for vid, meta in self._metadata.items()
+                    if vid in live_set
+                }
+                self._deleted_count = 0
+                self.updated_at = time.time()
             return purged
 
     # ----- reads -----
@@ -227,7 +259,7 @@ class Collection:
     def search_batch(
         self, queries: np.ndarray, params: SearchParams
     ) -> list[list[SearchResult]]:
-        with self._lock:
+        with self._rw.read():
             if self._index is None:
                 return [[] for _ in range(len(queries))]
             queries = np.asarray(queries, np.float32)
@@ -257,7 +289,7 @@ class Collection:
 
     def get(self, vid: int) -> Vector:
         """Deep copy fetch (reference: collection.go:207-239)."""
-        with self._lock:
+        with self._rw.read():
             if self._index is None:
                 raise ScintireteError(
                     ErrorCode.VECTOR_NOT_FOUND, f"vector not found: {vid}"
@@ -283,15 +315,15 @@ class Collection:
     def has_id(self, vid: int) -> bool:
         """True if the id was ever assigned (tombstoned included) — used by
         idempotent AOF replay."""
-        with self._lock:
+        with self._rw.read():
             return self._index is not None and self._index.has_id(int(vid))
 
     def count(self) -> int:
-        with self._lock:
+        with self._rw.read():
             return self._index.size() if self._index else 0
 
     def info(self) -> CollectionInfo:
-        with self._lock:
+        with self._rw.read():
             return CollectionInfo(
                 name=self.name,
                 dimension=self._dim or 0,
@@ -306,7 +338,7 @@ class Collection:
     # ----- persistence bridge -----
 
     def export_state(self) -> dict[str, Any]:
-        with self._lock:
+        with self._rw.read():
             import dataclasses as dc
 
             state: dict[str, Any] = {

@@ -44,24 +44,49 @@ def bulk_insert(
     vectors: np.ndarray,
     device=None,  # DeviceIndex; None = host-only
     chunk_size: int = DEFAULT_CHUNK,
+    write_ctx=None,  # callable -> context manager guarding store mutation
+    on_slots=None,  # called with each group of new slots INSIDE a write section
 ) -> list[int]:
-    """Insert a batch of vectors; returns their slots in order."""
+    """Insert a batch of vectors; returns their slots in order.
+
+    ``write_ctx`` (e.g. ``RWLock.write``) is entered around every store
+    mutation phase and RELEASED between chunks — the graph's invariants hold
+    at chunk boundaries, so concurrent readers see a consistent (partial)
+    graph and search latency during a build is bounded by one chunk.
+    ``on_slots`` lets the caller register id mappings atomically with the
+    links that make those slots reachable.
+    """
+    from contextlib import nullcontext
+
+    wctx = write_ctx if write_ctx is not None else nullcontext
     vectors = np.asarray(vectors, np.float32)
     n = len(vectors)
-    levels = store.draw_levels(n)
-    # one up-front capacity reservation: device shapes stay fixed for the
-    # whole build -> exactly one kernel compile + one full upload
-    store.reserve(levels)
     slots: list[int] = []
 
-    # bootstrap: sequential host inserts until the graph is worth a dispatch;
-    # small online batches always stay on the host (latency path)
-    if device is None or n < SMALL_BATCH:
-        boot = n
-    else:
-        boot = max(0, min(n, BOOTSTRAP_SIZE - store.live))
-    for i in range(boot):
-        slots.append(host_algo.insert(store, vectors[i], int(levels[i])))
+    with wctx():
+        levels = store.draw_levels(n)
+        # one up-front capacity reservation: device shapes stay fixed for the
+        # whole build -> exactly one kernel compile + one full upload
+        store.reserve(levels)
+        # bootstrap: sequential host inserts until the graph is worth a
+        # dispatch; small online batches always stay on the host (latency)
+        if device is None or n < SMALL_BATCH:
+            boot = n
+        else:
+            boot = max(0, min(n, BOOTSTRAP_SIZE - store.live))
+
+    pos0 = 0
+    while pos0 < boot:
+        hi = min(boot, pos0 + 256)
+        with wctx():
+            group = []
+            for i in range(pos0, hi):
+                s = host_algo.insert(store, vectors[i], int(levels[i]))
+                group.append(s)
+            slots.extend(group)
+            if on_slots:
+                on_slots(group)
+        pos0 = hi
 
     # Pipelined chunks: the descent for chunk t+1 dispatches (async) BEFORE
     # chunk t's links apply on the host, overlapping device traversal with
@@ -71,19 +96,24 @@ def bulk_insert(
     pos = boot
     pending = None
     while pos < n or pending is not None:
-        dispatched = None
-        if pos < n:
-            # early chunks stay small relative to the graph to bound staleness
-            step = min(chunk_size, max(128, store.live))
-            chunk = vectors[pos : pos + step]
-            chunk_levels = levels[pos : pos + step]
-            dispatched = _dispatch_chunk(
-                store, device, chunk, chunk_levels, chunk_size
-            )
-            pos += step
-        if pending is not None:
-            slots.extend(_apply_chunk(store, device, *pending))
-        pending = dispatched
+        with wctx():
+            dispatched = None
+            if pos < n:
+                # early chunks stay small relative to the graph to bound
+                # staleness
+                step = min(chunk_size, max(128, store.live))
+                chunk = vectors[pos : pos + step]
+                chunk_levels = levels[pos : pos + step]
+                dispatched = _dispatch_chunk(
+                    store, device, chunk, chunk_levels, chunk_size
+                )
+                pos += step
+            if pending is not None:
+                applied = _apply_chunk(store, device, *pending)
+                slots.extend(applied)
+                if on_slots:
+                    on_slots(applied)
+            pending = dispatched
     return slots
 
 

