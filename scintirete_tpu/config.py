@@ -40,6 +40,10 @@ class PersistenceConfig:
     aof_sync_strategy: str = "everysec"  # always | everysec | no
     rdb_interval_minutes: int = 5
     aof_rewrite_size_mb: int = 5
+    # true: corruption anywhere aborts startup with CORRUPTED_DATA.
+    # false (reference policy): warn, preserve the corrupt file as
+    # <name>.corrupt-<ts>, and recover everything salvageable.
+    strict_recovery: bool = False
 
 
 @dataclasses.dataclass

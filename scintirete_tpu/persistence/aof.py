@@ -118,13 +118,29 @@ class AOFLogger:
 
     # ----- replay -----
 
-    def replay(self, handler: Callable[[dict[str, Any]], None]) -> int:
+    def replay(
+        self,
+        handler: Callable[[dict[str, Any]], None],
+        salvage: bool = False,
+        on_salvage: Callable[[dict[str, Any]], None] | None = None,
+    ) -> int:
         """Scan the log and feed each command to `handler`; returns the
-        number applied. Corruption -> CORRUPTED_DATA
-        (reference: aof.go:149-216)."""
+        number applied. Corruption -> CORRUPTED_DATA (reference:
+        aof.go:149-216).
+
+        ``salvage=True`` selects the reference's degraded-recovery policy
+        (persistence.go:185-305 warns and preserves instead of failing): a
+        corrupt TAIL — truncated prefix/body or an undecodable record, the
+        signature of a crash mid-append — stops the replay at the last good
+        record, preserves the original file as ``<path>.corrupt-<ts>``, and
+        truncates the live log to the good prefix so subsequent appends
+        produce a valid file. ``on_salvage`` receives a detail dict.
+        """
         with self._lock:
             self._drain_buffer_locked()
         count = 0
+        good_end = 0
+        error: ScintireteError | None = None
         try:
             fh = open(self.path, "rb")
         except FileNotFoundError:
@@ -135,29 +151,62 @@ class AOFLogger:
                 if not head:
                     break
                 if len(head) < _LEN.size:
-                    raise ScintireteError(
+                    error = ScintireteError(
                         ErrorCode.CORRUPTED_DATA, "AOF truncated length prefix"
                     )
+                    break
                 (length,) = _LEN.unpack(head)
                 if length == 0 or length > MAX_RECORD_BYTES:
-                    raise ScintireteError(
+                    error = ScintireteError(
                         ErrorCode.CORRUPTED_DATA,
                         f"AOF record length out of range: {length}",
                     )
+                    break
                 payload = fh.read(length)
                 if len(payload) < length:
-                    raise ScintireteError(
+                    error = ScintireteError(
                         ErrorCode.CORRUPTED_DATA, "AOF truncated record body"
                     )
+                    break
                 try:
                     cmd = serde.loads(payload)
                 except Exception as exc:
-                    raise ScintireteError(
+                    error = ScintireteError(
                         ErrorCode.CORRUPTED_DATA, f"AOF undecodable record: {exc}"
                     )
+                    break
                 handler(cmd)
                 count += 1
+                good_end = fh.tell()
+        if error is None:
+            return count
+        if not salvage:
+            raise error
+        detail = self._salvage_tail(good_end, str(error), count)
+        if on_salvage is not None:
+            on_salvage(detail)
         return count
+
+    def _salvage_tail(self, good_end: int, reason: str, count: int) -> dict:
+        """Preserve the corrupt file, then truncate the live log to the
+        good prefix. The append handle stays valid: O_APPEND writes land at
+        the new end."""
+        import shutil
+
+        with self._lock:
+            self._fh.flush()
+            total = os.path.getsize(self.path)
+            preserved = f"{self.path}.corrupt-{int(time.time())}"
+            shutil.copyfile(self.path, preserved)
+            with open(self.path, "r+b") as t:
+                t.truncate(good_end)
+        return {
+            "reason": reason,
+            "replayed": count,
+            "good_bytes": good_end,
+            "dropped_bytes": total - good_end,
+            "preserved_as": preserved,
+        }
 
     # ----- maintenance -----
 

@@ -56,6 +56,7 @@ class PersistenceManager:
         snapshot_min_commands: int = SNAPSHOT_MIN_COMMANDS,
         snapshot_max_age_seconds: float = SNAPSHOT_MAX_AGE_SECONDS,
         aof_rewrite_check_seconds: float = AOF_REWRITE_CHECK_SECONDS,
+        strict_recovery: bool = False,
         logger=None,
     ):
         os.makedirs(data_dir, exist_ok=True)
@@ -70,6 +71,10 @@ class PersistenceManager:
         self.snapshot_min_commands = snapshot_min_commands
         self.snapshot_max_age_seconds = snapshot_max_age_seconds
         self.aof_rewrite_check_seconds = aof_rewrite_check_seconds
+        # strict: corruption anywhere aborts recovery with CORRUPTED_DATA.
+        # default (reference policy, persistence.go:185-305): warn, preserve
+        # the corrupt file on disk, and recover everything salvageable.
+        self.strict_recovery = strict_recovery
         self.logger = logger
 
         self._lock = threading.Lock()
@@ -124,13 +129,46 @@ class PersistenceManager:
 
     def recover(self) -> dict[str, Any]:
         """RDB load -> engine restore -> AOF tail replay
-        (reference: persistence.go:166-330)."""
+        (reference: persistence.go:166-330).
+
+        Unless ``strict_recovery``, corruption degrades instead of failing
+        (reference warns and preserves, persistence.go:185-305): a corrupt
+        RDB is set aside as ``<path>.corrupt-<ts>`` and recovery proceeds
+        from the AOF alone; a corrupt AOF tail is salvaged to the last good
+        record (the crash-mid-append signature), with the original kept.
+        """
+        from scintirete_tpu.errors import ErrorCode, ScintireteError
+
         t0 = time.time()
-        state = self.rdb.load()
+        degraded: list[dict[str, Any]] = []
+        try:
+            state = self.rdb.load()
+        except ScintireteError as exc:
+            if self.strict_recovery or exc.code != ErrorCode.CORRUPTED_DATA:
+                raise
+            preserved = self.rdb.set_aside_corrupt()
+            degraded.append({"source": "rdb", "reason": str(exc),
+                             "preserved_as": preserved})
+            if self.logger:
+                self.logger.warn(
+                    "corrupt RDB set aside; recovering from AOF only",
+                    error=str(exc), preserved_as=preserved,
+                )
+            state = None
         if state is not None:
             self.engine.restore_state(state)
             self._stats["recovered_from_rdb"] = True
-        replayed = self.aof.replay(self.engine.apply_command)
+
+        def on_salvage(detail: dict[str, Any]) -> None:
+            degraded.append({"source": "aof", **detail})
+            if self.logger:
+                self.logger.warn("corrupt AOF tail salvaged", **detail)
+
+        replayed = self.aof.replay(
+            self.engine.apply_command,
+            salvage=not self.strict_recovery,
+            on_salvage=on_salvage,
+        )
         self._stats["recovered_commands"] = replayed
         elapsed = time.time() - t0
         if self.logger:
@@ -144,6 +182,7 @@ class PersistenceManager:
             "rdb_loaded": state is not None,
             "aof_commands": replayed,
             "seconds": elapsed,
+            "degraded": degraded,
         }
 
     # ----- snapshots -----

@@ -108,6 +108,20 @@ class RDBManager:
                         f"RDB {dbname}/{colname}: live > count",
                     )
 
+    def set_aside_corrupt(self) -> Optional[str]:
+        """Move a corrupt snapshot out of the way (degraded recovery keeps
+        the bytes for manual repair instead of deleting or crashing —
+        reference policy: persistence.go:185-305). Returns the new path."""
+        if not self.exists():
+            return None
+        dest = f"{self.path}.corrupt-{int(time.time())}"
+        i = 0
+        while os.path.exists(dest):
+            i += 1
+            dest = f"{self.path}.corrupt-{int(time.time())}.{i}"
+        os.replace(self.path, dest)
+        return dest
+
     def exists(self) -> bool:
         return os.path.exists(self.path)
 

@@ -89,6 +89,7 @@ class ScintireteService:
             aof_sync_strategy=config.persistence.aof_sync_strategy,
             rdb_interval_seconds=config.persistence.rdb_interval_minutes * 60,
             aof_rewrite_size_bytes=config.persistence.aof_rewrite_size_mb * 1024 * 1024,
+            strict_recovery=config.persistence.strict_recovery,
             logger=self.logger,
         )
         self.embedding = embedding or EmbeddingClient(config.embedding)

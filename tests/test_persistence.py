@@ -367,3 +367,120 @@ class TestManagerIntegration:
         assert st["aof_writes"] == 1
         assert st["dirty_commands"] == 1
         pm.stop()
+
+
+class TestDegradedRecovery:
+    """Corruption policy: warn + preserve + salvage instead of crash
+    (reference degraded path: persistence.go:185-305)."""
+
+    def _write_and_stop(self, tmp_path, rng, n=10):
+        engine, pm = make_manager(tmp_path)
+        db = engine.create_database("db")
+        pm.log_create_database("db")
+        db.create_collection(CFG())
+        pm.log_create_collection(
+            "db", "c", {"metric": 1, "hnsw": {"m": 8, "seed": 5}}
+        )
+        col = engine.get_database("db").get_collection("c")
+        data = rng.standard_normal((n, 8)).astype(np.float32)
+        ids = col.insert([(v, {"i": i}) for i, v in enumerate(data)])
+        pm.log_insert_vectors(
+            "db", "c",
+            [{"id": vid, "elements": data[i].tolist(), "metadata": {"i": i}}
+             for i, vid in enumerate(ids)],
+        )
+        pm.stop()
+        return ids
+
+    def test_corrupt_aof_tail_salvaged(self, tmp_path, rng):
+        ids = self._write_and_stop(tmp_path, rng)
+        aof_path = tmp_path / "data" / "appendonly.aof"
+        good = aof_path.read_bytes()
+        # crash mid-append: a record whose body was cut off
+        aof_path.write_bytes(good + struct.pack("<I", 500) + b"partial")
+
+        engine2, pm2 = make_manager(tmp_path)
+        result = pm2.recover()
+        assert result["aof_commands"] == 3  # all good records replayed
+        assert result["degraded"] and result["degraded"][0]["source"] == "aof"
+        detail = result["degraded"][0]
+        assert detail["dropped_bytes"] == 4 + len(b"partial")
+        assert os.path.exists(detail["preserved_as"])  # original kept
+        # live log truncated back to a VALID file: replays cleanly now
+        assert aof_path.read_bytes() == good
+        col2 = engine2.get_database("db").get_collection("c")
+        assert col2.count() == len(ids)
+        # and stays appendable
+        pm2.log_delete_vectors("db", "c", [ids[0]])
+        pm2.stop()
+        engine3, pm3 = make_manager(tmp_path)
+        r3 = pm3.recover()
+        assert r3["aof_commands"] == 4 and not r3["degraded"]
+        pm3.stop()
+
+    def test_corrupt_aof_tail_strict_raises(self, tmp_path, rng):
+        self._write_and_stop(tmp_path, rng)
+        aof_path = tmp_path / "data" / "appendonly.aof"
+        aof_path.write_bytes(aof_path.read_bytes() + b"\x01")
+        engine2, pm2 = make_manager(tmp_path, strict_recovery=True)
+        with pytest.raises(ScintireteError) as exc:
+            pm2.recover()
+        assert exc.value.code == ErrorCode.CORRUPTED_DATA
+        pm2.stop()
+
+    def test_corrupt_rdb_set_aside(self, tmp_path, rng):
+        engine, pm = make_manager(tmp_path)
+        populate(engine, rng, n=5)
+        pm.save_snapshot()
+        # post-snapshot tail so AOF-only recovery still has something
+        pm.log_create_database("after")
+        engine.create_database("after")
+        pm.stop()
+        rdb_path = tmp_path / "data" / "vector.rdb"
+        rdb_path.write_bytes(b"garbage-not-an-rdb")
+
+        engine2, pm2 = make_manager(tmp_path)
+        result = pm2.recover()
+        assert result["rdb_loaded"] is False
+        assert result["degraded"][0]["source"] == "rdb"
+        assert os.path.exists(result["degraded"][0]["preserved_as"])
+        assert not rdb_path.exists()  # moved aside, not deleted
+        # AOF tail still recovered
+        assert "after" in engine2.list_databases()
+        pm2.stop()
+
+
+class TestAdminCLI:
+    def test_backup_create_list_restore_inspect(self, tmp_path, rng, capsys):
+        from scintirete_tpu.cli.admin_main import main as admin
+
+        engine, pm = make_manager(tmp_path)
+        populate(engine, rng, n=5)
+        pm.save_snapshot()
+        pm.stop()
+        data_dir = str(tmp_path / "data")
+
+        assert admin(["-data-dir", data_dir, "backup", "create"]) == 0
+        backup_path = capsys.readouterr().out.strip()
+        assert os.path.exists(backup_path)
+
+        assert admin(["-data-dir", data_dir, "backup", "list"]) == 0
+        assert backup_path in capsys.readouterr().out
+
+        # clobber the RDB, restore from backup, recover
+        (tmp_path / "data" / "vector.rdb").write_bytes(b"junk")
+        assert admin(
+            ["-data-dir", data_dir, "backup", "restore", backup_path]
+        ) == 0
+        capsys.readouterr()
+        engine2, pm2 = make_manager(tmp_path)
+        result = pm2.recover()
+        assert result["rdb_loaded"] is True
+        assert engine2.get_database("db").get_collection("c").count() == 5
+        pm2.stop()
+
+        assert admin(["-data-dir", data_dir, "inspect"]) == 0
+        import json as _json
+
+        info = _json.loads(capsys.readouterr().out)
+        assert info["rdb"]["exists"] and info["backups"]
