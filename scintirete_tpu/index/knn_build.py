@@ -33,10 +33,43 @@ sequential oracle hold; see tests/test_knn_build.py.
 from __future__ import annotations
 
 import functools
+import os
+import time
 
 import numpy as np
 
 from scintirete_tpu.index.store import GraphStore
+
+# SCNT_BUILD_PROFILE=1 prints a per-phase wall-time breakdown to stderr
+# (adds device syncs at phase boundaries; leave off in production)
+_PROFILE = bool(os.environ.get("SCNT_BUILD_PROFILE"))
+_prof: dict[str, float] = {}
+
+
+class _phase:
+    def __init__(self, name: str):
+        self.name = name
+
+    @staticmethod
+    def _drain():
+        # ops execute in enqueue order per device, so blocking on a fresh
+        # trailing op drains everything already dispatched
+        import jax.numpy as jnp
+
+        (jnp.zeros(()) + 0).block_until_ready()
+
+    def __enter__(self):
+        if _PROFILE:
+            self._drain()
+            self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        if _PROFILE:
+            self._drain()
+            dt = time.perf_counter() - self.t0
+            _prof[self.name] = _prof.get(self.name, 0.0) + dt
+        return False
 
 # per-node candidate pool from the kNN scan
 KNN_CANDIDATES = 64
@@ -285,11 +318,12 @@ def _scan_rounds(
     tile = min(_TILE, npad)
 
     def scan_block(qs, qe, n_valid, cc):
+        t0 = time.perf_counter() if _PROFILE else 0.0
         qb = np.zeros((_QBLOCK, dim), np.float32)
         qb[: qe - qs] = member_vecs[qs:qe]
         self_idx = np.full(_QBLOCK, -1, np.int32)
         self_idx[: qe - qs] = np.arange(qs, qe, dtype=np.int32)
-        return K["knn_block"](
+        out = K["knn_block"](
             jnp.asarray(qb),
             jnp.asarray(self_idx),
             base_j,
@@ -299,21 +333,33 @@ def _scan_rounds(
             c=cc,
             tile=tile,
         )
+        if _PROFILE:
+            dt = time.perf_counter() - t0
+            if dt > 1.0:
+                import sys
 
-    start = 0
-    prefix = min(_ROUND0, nm)
-    in_flight = []
-    while start < nm:
-        stop = prefix  # this round covers rows [start, prefix)
-        for qs in range(start, stop, _QBLOCK):
-            qe = min(qs + _QBLOCK, stop)
-            cd, ci = scan_block(qs, qe, prefix, c)
-            in_flight.append((qs, qe, ci, cd))
-        start = stop
-        prefix = min(prefix * 2, nm)
-    for qs, qe, ci, cd in in_flight:
-        cand_i[qs:qe] = np.asarray(ci)[: qe - qs]
-        cand_d[qs:qe] = np.asarray(cd)[: qe - qs]
+                print(
+                    f"[knn_build profile] slow dispatch nm={nm} tile={tile} "
+                    f"c={cc} rows={qs}:{qe} n_valid={n_valid}: {dt:.1f}s",
+                    file=sys.stderr, flush=True,
+                )
+        return out
+
+    with _phase(f"scan_rounds_n{nm}"):
+        start = 0
+        prefix = min(_ROUND0, nm)
+        in_flight = []
+        while start < nm:
+            stop = prefix  # this round covers rows [start, prefix)
+            for qs in range(start, stop, _QBLOCK):
+                qe = min(qs + _QBLOCK, stop)
+                cd, ci = scan_block(qs, qe, prefix, c)
+                in_flight.append((qs, qe, ci, cd))
+            start = stop
+            prefix = min(prefix * 2, nm)
+        for qs, qe, ci, cd in in_flight:
+            cand_i[qs:qe] = np.asarray(ci)[: qe - qs]
+            cand_d[qs:qe] = np.asarray(cd)[: qe - qs]
 
     sparse = min(_ROUND0, nm)
     ns = min(n_sparse, max(sparse - 1, 1))
@@ -321,14 +367,15 @@ def _scan_rounds(
         return cand_i, cand_d
     sp_i = np.full((nm, ns), -1, np.int32)
     sp_d = np.full((nm, ns), np.inf, np.float32)
-    in_flight = []
-    for qs in range(0, nm, _QBLOCK):
-        qe = min(qs + _QBLOCK, nm)
-        cd, ci = scan_block(qs, qe, sparse, ns)
-        in_flight.append((qs, qe, ci, cd))
-    for qs, qe, ci, cd in in_flight:
-        sp_i[qs:qe] = np.asarray(ci)[: qe - qs]
-        sp_d[qs:qe] = np.asarray(cd)[: qe - qs]
+    with _phase(f"scan_sparse_n{nm}"):
+        in_flight = []
+        for qs in range(0, nm, _QBLOCK):
+            qe = min(qs + _QBLOCK, nm)
+            cd, ci = scan_block(qs, qe, sparse, ns)
+            in_flight.append((qs, qe, ci, cd))
+        for qs, qe, ci, cd in in_flight:
+            sp_i[qs:qe] = np.asarray(ci)[: qe - qs]
+            sp_d[qs:qe] = np.asarray(cd)[: qe - qs]
 
     # merge + dedupe on device (rows with an empty sparse part keep their
     # list); rows padded to the shared pow2 ladder to bound compile variants
@@ -472,7 +519,8 @@ def _build_layer(
         return out_i, out_d
 
     # phase 2: forward selection
-    fwd_i, fwd_d = select_rows(cand_i, cand_d, c)
+    with _phase("select_fwd"):
+        fwd_i, fwd_d = select_rows(cand_i, cand_d, c)
 
     # phase 3: reverse edges + merge (row-padded whole-layer dispatches)
     def padded(a, fill):
@@ -480,18 +528,21 @@ def _build_layer(
         out[:nm] = a
         return out
 
-    inc_i, inc_d = _incoming_host(fwd_i, fwd_d, max_deg)
-    mrg_i, mrg_d = K["merge_dedupe"](
-        jnp.asarray(padded(fwd_i, -1)),
-        jnp.asarray(padded(fwd_d, np.float32(np.inf))),
-        jnp.asarray(padded(inc_i, -1)),
-        jnp.asarray(padded(inc_d, np.float32(np.inf))),
-    )
-    mrg_i = np.asarray(mrg_i)[:nm]
-    mrg_d = np.asarray(mrg_d)[:nm]
+    with _phase("incoming_host"):
+        inc_i, inc_d = _incoming_host(fwd_i, fwd_d, max_deg)
+    with _phase("merge"):
+        mrg_i, mrg_d = K["merge_dedupe"](
+            jnp.asarray(padded(fwd_i, -1)),
+            jnp.asarray(padded(fwd_d, np.float32(np.inf))),
+            jnp.asarray(padded(inc_i, -1)),
+            jnp.asarray(padded(inc_d, np.float32(np.inf))),
+        )
+        mrg_i = np.asarray(mrg_i)[:nm]
+        mrg_d = np.asarray(mrg_d)[:nm]
 
     # phase 4: final prune with the selection rule over (forward u incoming)
-    out, _ = select_rows(mrg_i, mrg_d, mrg_i.shape[1])
+    with _phase("select_final"):
+        out, _ = select_rows(mrg_i, mrg_d, mrg_i.shape[1])
     return out
 
 
@@ -549,4 +600,16 @@ def build(store: GraphStore, vectors: np.ndarray) -> list[int]:
     store.entry_slot = int(np.argmax(levels)) if n else -1
     store.invalidate_dirty()  # adjacency written in place: full upload next
     store.version += 1
+    if _PROFILE:
+        import sys
+
+        total = sum(_prof.values())
+        print(
+            "[knn_build profile] "
+            + " ".join(f"{k}={v:.1f}s" for k, v in sorted(_prof.items()))
+            + f" | phases_total={total:.1f}s",
+            file=sys.stderr,
+            flush=True,
+        )
+        _prof.clear()
     return [int(s) for s in slots]

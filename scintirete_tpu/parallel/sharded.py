@@ -178,6 +178,8 @@ def _fused_sharded_search(
 
     def local(q, vectors, sq_norms, deleted, neighbors0, up_cat, up_rows,
               entry, entry_level):
+        # q is this dp-group's B/dp slice: the "dp" axis partitions the
+        # query batch (pure data parallelism), "shard" partitions the corpus
         d, s, _ = _search_kernel(
             q, vectors[0], sq_norms[0], deleted[0], neighbors0[0],
             up_cat[0], up_rows[0], entry[0], entry_level[0],
@@ -197,7 +199,7 @@ def _fused_sharded_search(
         local,
         mesh=mesh,
         in_specs=(
-            P(None, None),  # queries replicated
+            P("dp", None),  # query batch split over the dp axis
             P("shard", None, None),
             P("shard", None),
             P("shard", None),
@@ -207,7 +209,7 @@ def _fused_sharded_search(
             P("shard"),
             P("shard"),
         ),
-        out_specs=(P(None, None), P(None, None)),
+        out_specs=(P("dp", None), P("dp", None)),
         check_vma=False,  # outputs are replicated over "shard" after all_gather
     )(q, vectors, sq_norms, deleted, neighbors0, up_nbrs_cat, up_rows_flat,
       entry, entry_level)
@@ -237,6 +239,11 @@ class ShardedHNSWIndex:
         self.metric = DistanceMetric(metric)
         self.dim = dim
         seed = params.resolved_seed()
+        # use_device=True: each shard's bulk build runs the MXU kNN
+        # constructor / device-assisted chunked path (round-1 shipped
+        # host-only sub-builds — an order of magnitude slower). The per-sub
+        # device mirror is dropped after each build (bulk_insert below);
+        # serving reads the fused stacked arrays instead.
         self.subs = [
             HNSWIndex(
                 dim,
@@ -249,13 +256,18 @@ class ShardedHNSWIndex:
                     neighbor_heuristic=params.neighbor_heuristic,
                 ),
                 metric,
-                use_device=False,
+                use_device=True,
             )
             for s in range(self.S)
         ]
         self._insert_cursor = 0
         self._synced_versions = [-1] * self.S
         self._stacked = None
+        self._shape_sig = None
+        # per-shard cached host-side padded parts (version-keyed) so an
+        # online insert into one shard restacks/reuploads ONLY that shard
+        self._parts: list[Optional[dict]] = [None] * self.S
+        self._part_versions = [-1] * self.S
 
     def size(self) -> int:
         return sum(sub.size() for sub in self.subs)
@@ -325,7 +337,7 @@ class ShardedHNSWIndex:
             f"snapshot has {len(sub_states)} shards, mesh has {idx.S}"
         )
         idx.subs = [
-            HNSWIndex.import_graph_state(s, use_device=False) for s in sub_states
+            HNSWIndex.import_graph_state(s, use_device=True) for s in sub_states
         ]
         return idx
 
@@ -337,6 +349,9 @@ class ShardedHNSWIndex:
             ]
             if sel:
                 self.subs[s].bulk_insert([ids[i] for i in sel], vectors[sel])
+                # the build's single-device mirror is dead weight once the
+                # fused stacked arrays re-sync; free the HBM now
+                self.subs[s]._device = None
         self._insert_cursor = (self._insert_cursor + len(ids)) % self.S
 
     def delete(self, vector_id: int) -> bool:
@@ -351,61 +366,140 @@ class ShardedHNSWIndex:
 
     # ----- fused device search -----
 
-    def _sync(self) -> None:
-        versions = [sub.store.version for sub in self.subs]
-        if self._stacked is not None and versions == self._synced_versions:
-            return
-        from scintirete_tpu.index.device import build_cat_tables
+    _SPECS = {
+        "vectors": P("shard", None, None),
+        "sq_norms": P("shard", None),
+        "deleted": P("shard", None),
+        "neighbors0": P("shard", None, None),
+        "up_nbrs_cat": P("shard", None, None),
+        "up_rows_flat": P("shard", None),
+        "entry": P("shard"),
+        "entry_level": P("shard"),
+    }
 
-        stores = [sub.store for sub in self.subs]
-        cap = max(s.cap for s in stores)
+    @staticmethod
+    def _build_part(store, cap: int) -> dict:
+        """One shard's padded host arrays (cat/rowmap at their natural
+        lengths; padded to the unified lengths at assembly)."""
+        from scintirete_tpu.index.device import build_cat_tables
 
         def pad2(a, rows, fill):
             out = np.full((rows,) + a.shape[1:], fill, a.dtype)
             out[: a.shape[0]] = a
             return out
 
-        cats, rowmaps = [], []
-        for s in stores:
-            cat, rows, _ = build_cat_tables(s)
-            # rows are per-layer segments of length s.cap; re-segment to the
-            # unified cap so flat indexing (l * cap + slot) stays correct
-            L = max(len(s.layers), 1)
-            seg = rows.reshape(L, -1)
-            seg = pad2(seg.T, cap, -1).T.reshape(-1)  # pad slot dim per layer
-            cats.append(cat)
-            rowmaps.append(seg)
-        cat_rows = max(c.shape[0] for c in cats)
-        map_len = max(r.shape[0] for r in rowmaps)
-        cats = [pad2(c, cat_rows, -1) for c in cats]
-        rowmaps = [pad2(r, map_len, -1) for r in rowmaps]
-
-        vecs, norms, deleted, nbrs0, entries, entry_levels = [], [], [], [], [], []
-        for s in stores:
-            vecs.append(pad2(s.vectors, cap, 0.0))
-            norms.append(
-                pad2(np.sum(s.vectors.astype(np.float32) ** 2, axis=1), cap, 0.0)
-            )
-            deleted.append(pad2(s.deleted, cap, True))
-            nbrs0.append(pad2(s.neighbors0, cap, -1))
-            e = max(s.entry_slot, 0)
-            entries.append(np.int32(e))
-            lv = int(s.levels[e]) if s.entry_slot >= 0 else 0
-            entry_levels.append(np.int32(max(lv, 0)))
-
-        def put(stack, spec):
-            return jax.device_put(np.stack(stack), NamedSharding(self.mesh, spec))
-
-        self._stacked = {
-            "vectors": put(vecs, P("shard", None, None)),
-            "sq_norms": put(norms, P("shard", None)),
-            "deleted": put(deleted, P("shard", None)),
-            "neighbors0": put(nbrs0, P("shard", None, None)),
-            "up_nbrs_cat": put(cats, P("shard", None, None)),
-            "up_rows_flat": put(rowmaps, P("shard", None)),
-            "entry": put(entries, P("shard")),
-            "entry_level": put(entry_levels, P("shard")),
+        cat, rows, _ = build_cat_tables(store)
+        # rows are per-layer segments of length store.cap; re-segment to the
+        # unified cap so flat indexing (l * cap + slot) stays correct
+        L = max(len(store.layers), 1)
+        seg = rows.reshape(L, -1)
+        seg = pad2(seg.T, cap, -1).T.reshape(-1)  # pad slot dim per layer
+        e = max(store.entry_slot, 0)
+        lv = int(store.levels[e]) if store.entry_slot >= 0 else 0
+        return {
+            "vectors": pad2(store.vectors, cap, 0.0),
+            "sq_norms": pad2(
+                np.sum(store.vectors.astype(np.float32) ** 2, axis=1), cap, 0.0
+            ),
+            "deleted": pad2(store.deleted, cap, True),
+            "neighbors0": pad2(store.neighbors0, cap, -1),
+            "up_nbrs_cat": cat,
+            "up_rows_flat": seg,
+            "entry": np.int32(e),
+            "entry_level": np.int32(max(lv, 0)),
         }
+
+    def _assemble_incremental(self, key: str, parts: list[dict],
+                              changed: list[bool]):
+        """Rebuild one stacked sharded array, re-uploading ONLY the shards
+        whose sub-store version changed; unchanged shards reuse their
+        existing per-device buffers (no HBM transfer)."""
+        spec = self._SPECS[key]
+        sharding = NamedSharding(self.mesh, spec)
+        global_shape = (self.S,) + np.asarray(parts[0][key]).shape
+        old = self._stacked[key]
+        old_bufs = {sh.device: sh.data for sh in old.addressable_shards}
+        bufs = []
+        for dev, idx in sharding.addressable_devices_indices_map(
+            global_shape
+        ).items():
+            j = idx[0].start or 0  # shard id from the leading-axis slice
+            if changed[j] or dev not in old_bufs:
+                local = np.asarray(parts[j][key])[None, ...]
+                bufs.append(jax.device_put(local, dev))
+            else:
+                bufs.append(old_bufs[dev])
+        return jax.make_array_from_single_device_arrays(
+            global_shape, sharding, bufs
+        )
+
+    def _sync(self) -> None:
+        versions = [sub.store.version for sub in self.subs]
+        if self._stacked is not None and versions == self._synced_versions:
+            return
+        stores = [sub.store for sub in self.subs]
+        cap = max(s.cap for s in stores)
+
+        # refresh host parts only for shards whose store changed
+        changed = [False] * self.S
+        for j, s in enumerate(stores):
+            if self._parts[j] is None or self._part_versions[j] != s.version:
+                self._parts[j] = self._build_part(s, cap)
+                self._part_versions[j] = s.version
+                changed[j] = True
+        parts = self._parts
+
+        # unify cat/rowmap lengths (they grow with layer-table capacity)
+        cat_rows = max(p["up_nbrs_cat"].shape[0] for p in parts)
+        map_len = max(p["up_rows_flat"].shape[0] for p in parts)
+
+        def pad2(a, rows, fill):
+            if a.shape[0] == rows:
+                return a
+            out = np.full((rows,) + a.shape[1:], fill, a.dtype)
+            out[: a.shape[0]] = a
+            return out
+
+        padded = [
+            {
+                **p,
+                "up_nbrs_cat": pad2(p["up_nbrs_cat"], cat_rows, -1),
+                "up_rows_flat": pad2(p["up_rows_flat"], map_len, -1),
+            }
+            for p in parts
+        ]
+
+        sig = (cap, cat_rows, map_len)
+        if self._stacked is None or sig != self._shape_sig:
+            # first sync or device shapes changed: full stack + upload.
+            # (a capacity change in ANY shard invalidates every cached part
+            # — rebuild them at the unified cap)
+            for j, s in enumerate(stores):
+                if parts[j]["vectors"].shape[0] != cap:
+                    self._parts[j] = self._build_part(s, cap)
+                    self._part_versions[j] = s.version
+            parts = self._parts
+            padded = [
+                {
+                    **p,
+                    "up_nbrs_cat": pad2(p["up_nbrs_cat"], cat_rows, -1),
+                    "up_rows_flat": pad2(p["up_rows_flat"], map_len, -1),
+                }
+                for p in parts
+            ]
+            self._stacked = {
+                key: jax.device_put(
+                    np.stack([p[key] for p in padded]),
+                    NamedSharding(self.mesh, spec),
+                )
+                for key, spec in self._SPECS.items()
+            }
+        else:
+            self._stacked = {
+                key: self._assemble_incremental(key, padded, changed)
+                for key in self._SPECS
+            }
+        self._shape_sig = sig
         self._synced_versions = versions
 
     def search_batch(
@@ -420,14 +514,22 @@ class ShardedHNSWIndex:
         ef = max(params.ef_search or self.params.ef_search, k)
         a = self._stacked
 
+        # the dp axis partitions the query batch; pad to a multiple of it
+        dp = self.mesh.shape["dp"]
+        pad_b = (-B) % dp
+        if pad_b:
+            queries = np.concatenate(
+                [queries, np.zeros((pad_b, queries.shape[1]), np.float32)]
+            )
+        q = jax.device_put(queries, NamedSharding(self.mesh, P("dp", None)))
         d, gs = _fused_sharded_search(
-            jnp.asarray(queries),
+            q,
             a["vectors"], a["sq_norms"], a["deleted"], a["neighbors0"],
             a["up_nbrs_cat"], a["up_rows_flat"], a["entry"], a["entry_level"],
             metric=int(self.metric), ef=ef, k=k, max_steps=ef + 64,
             mesh=self.mesh,
         )
-        d, gs = np.asarray(d), np.asarray(gs)
+        d, gs = np.asarray(d)[:B], np.asarray(gs)[:B]
         cap = a["vectors"].shape[1]
         out = []
         for b in range(B):
