@@ -23,6 +23,10 @@ class ServerConfig:
     http_host: str = "127.0.0.1"
     http_port: int = 8080
     passwords: list[str] = dataclasses.field(default_factory=list)
+    # per-client request rate limit (token bucket); 0 disables — the
+    # reference defines the RateLimiter capability but ships it unwired
+    rate_limit_rps: float = 0.0
+    rate_limit_burst: int = 0  # 0 -> 2x rps
 
 
 @dataclasses.dataclass

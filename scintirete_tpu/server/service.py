@@ -94,6 +94,12 @@ class ScintireteService:
         )
         self.embedding = embedding or EmbeddingClient(config.embedding)
         self.auth = BasicAuthenticator(config.server.passwords)
+        from scintirete_tpu.server.ratelimit import TokenBucketLimiter
+
+        self.rate_limiter = TokenBucketLimiter(
+            config.server.rate_limit_rps,
+            config.server.rate_limit_burst or None,
+        )
         self.audit = audit or AuditLogger(enabled=False)
         self.metrics = metrics or MetricsRegistry()
         # coalesce concurrent single-query RPCs into one device dispatch
@@ -124,7 +130,9 @@ class ScintireteService:
 
     def _begin(self, method: str, auth: pb.AuthInfo) -> tuple[float, str]:
         self.auth.authenticate(auth.password if auth else "")
-        return time.time(), hash_user_id(auth.password if auth else "")
+        user = hash_user_id(auth.password if auth else "")
+        self.rate_limiter.allow(user)
+        return time.time(), user
 
     def _finish(self, method: str, t0: float, error: bool = False) -> None:
         self.metrics.observe_request(method, time.time() - t0, error)

@@ -451,3 +451,47 @@ class TestEmbeddingClientUnit:
     def test_empty_input(self, fake_embed):
         client = EmbeddingClient(self._config(fake_embed.url))
         assert client.get_embeddings([]) == []
+
+
+class TestRateLimiting:
+    """Request-abuse control (reference declares the RateLimiter interface,
+    interfaces.go:265-278; here it is wired into every RPC)."""
+
+    def test_token_bucket_unit(self):
+        from scintirete_tpu.server.ratelimit import TokenBucketLimiter
+
+        lim = TokenBucketLimiter(rps=100.0, burst=3)
+        for _ in range(3):
+            lim.allow("u")
+        with pytest.raises(ScintireteError) as exc:
+            lim.allow("u")
+        assert exc.value.code == ErrorCode.RATE_LIMITED
+        lim.allow("other-key")  # buckets are per key
+        assert lim.get_limit("u") == (100.0, 3.0)
+        lim.set_limit("u", 0, 0)  # per-key unlimited override
+        for _ in range(10):
+            lim.allow("u")
+
+    def test_disabled_by_default(self):
+        from scintirete_tpu.server.ratelimit import TokenBucketLimiter
+
+        lim = TokenBucketLimiter(rps=0)
+        for _ in range(1000):
+            lim.allow("u")
+
+    def test_service_enforces_limit(self, tmp_path):
+        cfg = Config()
+        cfg.server.passwords = [PASSWORD]
+        cfg.server.rate_limit_rps = 2.0
+        cfg.server.rate_limit_burst = 2
+        cfg.persistence.data_dir = str(tmp_path / "data")
+        svc = ScintireteService(cfg, use_device=False)
+        svc.start()
+        try:
+            svc.ListDatabases(pb.ListDatabasesRequest(auth=auth()))
+            svc.ListDatabases(pb.ListDatabasesRequest(auth=auth()))
+            with pytest.raises(ScintireteError) as exc:
+                svc.ListDatabases(pb.ListDatabasesRequest(auth=auth()))
+            assert exc.value.code == ErrorCode.RATE_LIMITED
+        finally:
+            svc.stop()
