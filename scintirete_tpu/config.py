@@ -115,6 +115,9 @@ class TPUConfig:
     build_chunk_size: int = 1024
     # max concurrent queries fused into one device search dispatch
     search_batch_size: int = 256
+    # flat index: bf16 full-corpus first pass + f32 exact rerank (2x+ scan
+    # rate for +256 B/vector HBM at 128-d; returned distances stay f32-exact)
+    flat_fast_scan: bool = True
     # collections smaller than this search on the host (device dispatch
     # latency dominates tiny graphs); 0 = always use the device
     device_search_min_size: int = 4096

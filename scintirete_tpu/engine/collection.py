@@ -83,7 +83,10 @@ class Collection:
 
             kwargs = {}
             if self._tpu is not None:
-                kwargs = dict(search_batch_size=self._tpu.search_batch_size)
+                kwargs = dict(
+                    search_batch_size=self._tpu.search_batch_size,
+                    fast_scan=self._tpu.flat_fast_scan,
+                )
             return FlatIndex(
                 dim=dim,
                 params=self.config.hnsw,

@@ -617,6 +617,13 @@ class DeviceGraph:
         if len(pivots) < R:
             pivots = np.pad(pivots, (0, R - len(pivots)), mode="edge")
         pvecs = vecs[pivots].astype(np.float32)
+        if int(store.metric) == int(DistanceMetric.COSINE):
+            # pre-normalized pivots: comparison-form cosine is then 1 - dot
+            # (the Pallas fused scan relies on this; the XLA path's
+            # norm-based formula is unchanged — pivot_sq becomes 1 for
+            # non-zero pivots, 0 for zero pivots which keep distance 1)
+            norms = np.linalg.norm(pvecs, axis=1, keepdims=True)
+            pvecs = np.where(norms > 1e-30, pvecs / np.maximum(norms, 1e-30), 0.0)
         self.arrays = {
             "vectors": jnp.asarray(vecs, dtype=self.dtype),
             "sq_norms": jnp.asarray(

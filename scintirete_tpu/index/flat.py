@@ -66,6 +66,7 @@ class FlatIndex:
         device_dtype: str = "float32",
         use_device: bool = True,
         search_batch_size: int = 1024,
+        fast_scan: bool = True,
         **_: Any,
     ):
         self.dim = dim
@@ -74,6 +75,8 @@ class FlatIndex:
         self.device_dtype = device_dtype
         self.use_device = use_device
         self.search_batch_size = search_batch_size
+        # bf16 first pass + f32 rerank (see _sync); +256 B/vec HBM at 128-d
+        self.fast_scan = fast_scan
 
         self.cap = _MIN_CAP
         self.count = 0  # slots handed out (includes tombstones)
@@ -243,9 +246,14 @@ class FlatIndex:
     def _sync(self) -> None:
         import jax.numpy as jnp
 
-        from scintirete_tpu.index.device import DeviceGraph, _scatter_rows
+        from scintirete_tpu.index.device import DeviceGraph
 
         dtype = jnp.bfloat16 if self.device_dtype == "bfloat16" else jnp.float32
+        # fast-scan mode (f32 collections only): keep a bf16 copy for the
+        # full-corpus first pass and rerank candidates against the f32
+        # matrix — bf16 MXU rate with f32-exact returned distances. bf16
+        # collections already scan at the fast rate; no second copy needed.
+        two_pass = self.fast_scan and dtype == jnp.float32
         dirty = self._dirty
         self._dirty = set()
         if self._dev_cap != self.cap or dirty is None or not self._dev:
@@ -257,12 +265,18 @@ class FlatIndex:
                 ),
                 "valid": jnp.asarray(~self.deleted & (np.arange(self.cap) < self.count)),
             }
+            if two_pass:
+                self._dev["scan"] = jnp.asarray(vecs, jnp.bfloat16)
             self._dev_cap = self.cap
         elif dirty:
             rows = np.fromiter(dirty, np.int32, len(dirty))
             self._dev["vectors"] = DeviceGraph._scatter_into(
                 self._dev["vectors"], rows, self.vectors[rows]
             )
+            if two_pass and "scan" in self._dev:
+                self._dev["scan"] = DeviceGraph._scatter_into(
+                    self._dev["scan"], rows, self.vectors[rows]
+                )
             norms = np.sum(self.vectors[rows].astype(np.float32) ** 2, axis=1)
             self._dev["sq_norms"] = DeviceGraph._scatter_into(
                 self._dev["sq_norms"], rows, norms
@@ -277,7 +291,7 @@ class FlatIndex:
         import jax.numpy as jnp
 
         from scintirete_tpu.index.device import _fetch_packed
-        from scintirete_tpu.ops.flat_scan import flat_topk
+        from scintirete_tpu.ops.flat_scan import flat_topk, flat_topk_rerank
 
         if self._dev_version != self._version:
             self._sync()
@@ -295,15 +309,28 @@ class FlatIndex:
                 chunk = np.concatenate(
                     [chunk, np.zeros((padded - n, self.dim), np.float32)]
                 )
-            d, s = flat_topk(
-                jnp.asarray(chunk, jnp.float32),
-                a["vectors"],
-                a["valid"],
-                int(self.metric),
-                k,
-                a["sq_norms"],
-                recall_target=self.RECALL_TARGET,
-            )
+            if "scan" in a:
+                d, s = flat_topk_rerank(
+                    jnp.asarray(chunk, jnp.float32),
+                    a["scan"],
+                    a["vectors"],
+                    a["valid"],
+                    int(self.metric),
+                    k,
+                    a["sq_norms"],
+                    width=max(4 * k, 32),
+                    recall_target=0.99,
+                )
+            else:
+                d, s = flat_topk(
+                    jnp.asarray(chunk, jnp.float32),
+                    a["vectors"],
+                    a["valid"],
+                    int(self.metric),
+                    k,
+                    a["sq_norms"],
+                    recall_target=self.RECALL_TARGET,
+                )
             in_flight.append((start, n, d, s))
         # ONE device->host fetch for the whole batch: per-sub-batch fetches
         # each pay a full transfer round trip (~20 ms over a tunneled TPU)

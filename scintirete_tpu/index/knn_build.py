@@ -180,11 +180,14 @@ def _kernels():
             sel_d = jnp.where(valid[:, :max_deg], cand_d[:, :max_deg], INF)
             return sel_i, sel_d
 
-        cvecs = base[jnp.maximum(cand_i, 0)].astype(jnp.float32)  # [B, C, D]
+        # gather + einsum in the base's storage dtype (bf16 on TPU: half the
+        # gather bytes, native MXU rate); accumulate in f32
+        cvecs = base[jnp.maximum(cand_i, 0)]  # [B, C, D]
         dots = jnp.einsum(
             "bcd,bed->bce", cvecs, cvecs, preferred_element_type=jnp.float32
         )
-        sq = jnp.sum(cvecs * cvecs, axis=2)  # [B, C]
+        c32 = cvecs.astype(jnp.float32)
+        sq = jnp.sum(c32 * c32, axis=2)  # [B, C]
         if metric == 1:  # L2: compare in squared form
             dcc = sq[:, :, None] + sq[:, None, :] - 2.0 * dots
             dq = cand_d * cand_d  # cand_d is sqrt'ed L2
@@ -264,7 +267,14 @@ def _incoming_host(
     inc_d = np.full((nm, max_deg), np.inf, np.float32)
     if len(dst) == 0:
         return inc_i, inc_d
-    order = np.lexsort((d, dst))  # by target, then distance
+    # single packed-key argsort (~2x a two-key lexsort at 32M edges):
+    # key = target << 32 | order-preserving uint32 image of the distance
+    bits = d.astype(np.float32).view(np.uint32)
+    mono = np.where(
+        bits & 0x80000000, ~bits, bits | np.uint32(0x80000000)
+    ).astype(np.uint64)
+    key = (dst.astype(np.uint64) << np.uint64(32)) | mono
+    order = np.argsort(key)
     dst, src, d = dst[order], src[order], d[order]
     E = len(dst)
     iota = np.arange(E)
@@ -284,8 +294,25 @@ def _incoming_host(
 # ---------------------------------------------------------------------------
 
 
+def _scan_dtype():
+    """MXU input dtype for the candidate scans: bf16 on TPU (double MXU
+    throughput + half the tunnel-upload bytes; distances still accumulate in
+    f32, so the only error is input rounding ~0.4% relative — candidate sets
+    shift negligibly and the recall gates hold, see
+    tests/test_knn_build.py::test_bf16_scan_recall), f32 elsewhere."""
+    import jax
+    import jax.numpy as jnp
+
+    forced = os.environ.get("SCNT_BUILD_SCAN_DTYPE")
+    if forced:
+        return jnp.bfloat16 if forced == "bfloat16" else jnp.float32
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
 def _scan_rounds(
     member_vecs: np.ndarray,  # [Nm, D] in SHUFFLED (round) order
+    base_j,  # [Npad, D] device base (scan dtype), padded member matrix
+    base_sq,  # [Npad] f32 device squared norms
     metric: int,
     c: int,
     n_sparse: int = 24,
@@ -302,80 +329,75 @@ def _scan_rounds(
     tunneled TPU) compile, so all rounds share ONE padded base buffer with
     an n_valid prefix mask, and every query block is padded to _QBLOCK.
     Masked-out columns still burn MXU flops (~1.5x the minimal doubling-
-    round cost) — far cheaper than a compile per round shape."""
+    round cost) — far cheaper than a compile per round shape. The sparse
+    pass runs against a SEPARATE tiny [_ROUND0*2, D] base (a full-width scan
+    for a 128-column job was half the 1M build's scan time in round 2
+    profiling), reusing each round's already-uploaded query block."""
     import jax.numpy as jnp
 
     K = _kernels()
     nm, dim = member_vecs.shape
+    npad = base_j.shape[0]
+    dtype = base_j.dtype
+    tile = min(_TILE, npad)
+
     cand_i = np.full((nm, c), -1, np.int32)
     cand_d = np.full((nm, c), np.inf, np.float32)
 
-    npad = _pad_pow2(nm, minimum=_ROUND0 * 2)
-    base = np.zeros((npad, dim), np.float32)
-    base[:nm] = member_vecs
-    base_j = jnp.asarray(base)
-    base_sq = jnp.sum(base_j.astype(jnp.float32) ** 2, axis=1)
-    tile = min(_TILE, npad)
+    sparse = min(_ROUND0, nm)
+    ns = min(n_sparse, max(sparse - 1, 1))
+    do_sparse = sparse < nm
+    if do_sparse:
+        # tiny dedicated base for the long-range pass: one compile variant
+        # shared by every layer (fixed [_ROUND0*2, D] shape)
+        sp_pad = _ROUND0 * 2
+        sp_base = np.zeros((sp_pad, dim), np.float32)
+        sp_base[:sparse] = member_vecs[:sparse]
+        sp_base_j = jnp.asarray(sp_base.astype(dtype))
+        sp_sq = jnp.asarray(np.sum(sp_base * sp_base, axis=1))
+        sp_i = np.full((nm, ns), -1, np.int32)
+        sp_d = np.full((nm, ns), np.inf, np.float32)
 
-    def scan_block(qs, qe, n_valid, cc):
-        t0 = time.perf_counter() if _PROFILE else 0.0
+    def upload_block(qs, qe):
         qb = np.zeros((_QBLOCK, dim), np.float32)
         qb[: qe - qs] = member_vecs[qs:qe]
         self_idx = np.full(_QBLOCK, -1, np.int32)
         self_idx[: qe - qs] = np.arange(qs, qe, dtype=np.int32)
-        out = K["knn_block"](
-            jnp.asarray(qb),
-            jnp.asarray(self_idx),
-            base_j,
-            base_sq,
-            jnp.int32(n_valid),
-            metric=metric,
-            c=cc,
-            tile=tile,
-        )
-        if _PROFILE:
-            dt = time.perf_counter() - t0
-            if dt > 1.0:
-                import sys
+        return jnp.asarray(qb.astype(dtype)), jnp.asarray(self_idx)
 
-                print(
-                    f"[knn_build profile] slow dispatch nm={nm} tile={tile} "
-                    f"c={cc} rows={qs}:{qe} n_valid={n_valid}: {dt:.1f}s",
-                    file=sys.stderr, flush=True,
-                )
-        return out
-
-    with _phase(f"scan_rounds_n{nm}"):
+    with _phase(f"scan_n{nm}"):
         start = 0
-        prefix = min(_ROUND0, nm)
+        prefix = sparse
         in_flight = []
+        sp_flight = []
         while start < nm:
             stop = prefix  # this round covers rows [start, prefix)
             for qs in range(start, stop, _QBLOCK):
                 qe = min(qs + _QBLOCK, stop)
-                cd, ci = scan_block(qs, qe, prefix, c)
+                q_j, si_j = upload_block(qs, qe)
+                cd, ci = K["knn_block"](
+                    q_j, si_j, base_j, base_sq, jnp.int32(prefix),
+                    metric=metric, c=c, tile=tile,
+                )
                 in_flight.append((qs, qe, ci, cd))
+                if do_sparse:
+                    # same uploaded block, long-range candidates
+                    scd, sci = K["knn_block"](
+                        q_j, si_j, sp_base_j, sp_sq, jnp.int32(sparse),
+                        metric=metric, c=ns, tile=sp_pad,
+                    )
+                    sp_flight.append((qs, qe, sci, scd))
             start = stop
             prefix = min(prefix * 2, nm)
         for qs, qe, ci, cd in in_flight:
             cand_i[qs:qe] = np.asarray(ci)[: qe - qs]
             cand_d[qs:qe] = np.asarray(cd)[: qe - qs]
-
-    sparse = min(_ROUND0, nm)
-    ns = min(n_sparse, max(sparse - 1, 1))
-    if sparse >= nm:  # one round covered everything; nothing to add
-        return cand_i, cand_d
-    sp_i = np.full((nm, ns), -1, np.int32)
-    sp_d = np.full((nm, ns), np.inf, np.float32)
-    with _phase(f"scan_sparse_n{nm}"):
-        in_flight = []
-        for qs in range(0, nm, _QBLOCK):
-            qe = min(qs + _QBLOCK, nm)
-            cd, ci = scan_block(qs, qe, sparse, ns)
-            in_flight.append((qs, qe, ci, cd))
-        for qs, qe, ci, cd in in_flight:
+        for qs, qe, ci, cd in sp_flight:
             sp_i[qs:qe] = np.asarray(ci)[: qe - qs]
             sp_d[qs:qe] = np.asarray(cd)[: qe - qs]
+
+    if not do_sparse:  # one round covered everything; nothing to add
+        return cand_i, cand_d
 
     # merge + dedupe on device (rows with an empty sparse part keep their
     # list); rows padded to the shared pow2 ladder to bound compile variants
@@ -386,13 +408,14 @@ def _scan_rounds(
         out[:nm] = a
         return out
 
-    mi, md = K["merge_dedupe"](
-        jnp.asarray(padded(cand_i, -1)),
-        jnp.asarray(padded(cand_d, np.float32(np.inf))),
-        jnp.asarray(padded(sp_i, -1)),
-        jnp.asarray(padded(sp_d, np.float32(np.inf))),
-    )
-    return np.asarray(mi)[:nm], np.asarray(md)[:nm]
+    with _phase(f"merge_sparse_n{nm}"):
+        mi, md = K["merge_dedupe"](
+            jnp.asarray(padded(cand_i, -1)),
+            jnp.asarray(padded(cand_d, np.float32(np.inf))),
+            jnp.asarray(padded(sp_i, -1)),
+            jnp.asarray(padded(sp_d, np.float32(np.inf))),
+        )
+        return np.asarray(mi)[:nm], np.asarray(md)[:nm]
 
 
 # layers at or below this size build on the host (numpy): a device build of
@@ -485,13 +508,21 @@ def _build_layer(
 
     K = _kernels()
     c = min(n_candidates, max(nm - 1, 1))
-    cand_i, cand_d = _scan_rounds(member_vecs, metric, c)
-    c = cand_i.shape[1]  # sparse augmentation may widen the pool
 
-    npad = _pad_pow2(nm)
+    # ONE padded base upload per layer, shared by the candidate scans and
+    # the selection gathers (round-2 profiling showed the 0.5 GB layer-0
+    # matrix crossing the tunnel twice)
+    npad = _pad_pow2(nm, minimum=_ROUND0 * 2)
     base = np.zeros((npad, dim), np.float32)
     base[:nm] = member_vecs
-    base_j = jnp.asarray(base)
+    with _phase(f"upload_n{nm}"):
+        # cast on HOST so bf16 halves the tunnel-upload bytes too
+        base_j = jnp.asarray(base.astype(_scan_dtype()))
+        base_sq = jnp.asarray(np.sum(base * base, axis=1))
+
+    cand_i, cand_d = _scan_rounds(member_vecs, base_j, base_sq, metric, c)
+    c = cand_i.shape[1]  # sparse augmentation may widen the pool
+
     rp = _pad_pow2(nm, minimum=_QBLOCK)  # row pad for whole-layer dispatches
 
     def select_rows(ci_all, cd_all, width):
@@ -551,9 +582,10 @@ def build(store: GraphStore, vectors: np.ndarray) -> list[int]:
     assert store.count == 0, "knn_build.build requires an empty store"
     vectors = np.asarray(vectors, np.float32)
     n = len(vectors)
-    levels = store.draw_levels(n)
-    store.reserve(levels)
-    slots = store.alloc_slots(vectors, levels.astype(np.int32))
+    with _phase("alloc"):
+        levels = store.draw_levels(n)
+        store.reserve(levels)
+        slots = store.alloc_slots(vectors, levels.astype(np.int32))
     metric = int(store.metric)
     heuristic = bool(store.params.neighbor_heuristic)
     shuffle_rng = np.random.default_rng(store.seed ^ 0x5CA1AB1E)
@@ -566,7 +598,11 @@ def build(store: GraphStore, vectors: np.ndarray) -> list[int]:
         vectors[perm], metric, store.m0, KNN_CANDIDATES, heuristic
     )
     # map member-space (shuffled) adjacency back to slot space
-    store.neighbors0[:n] = np.where(adj_p[inv] >= 0, perm[np.maximum(adj_p[inv], 0)], -1)
+    with _phase("map_layer0"):
+        adj_m = adj_p[inv]
+        store.neighbors0[:n] = np.where(
+            adj_m >= 0, perm[np.maximum(adj_m, 0)], -1
+        )
 
     # upper layers: member subsets, degree M
     max_level = int(levels.max(initial=0))

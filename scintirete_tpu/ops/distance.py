@@ -52,32 +52,49 @@ def pairwise_distance(
     """All-pairs distances [B, N], f32, lower is better for every metric."""
     q = queries
     # MXU path: accumulate in f32 regardless of storage dtype.
-    # HIGHEST precision: full-f32 multiplies when inputs are f32 (the backend
-    # default rounds operands to bf16). The flat scan is HBM-bandwidth-bound,
-    # so exact f32 matmul costs almost nothing; the bf16 fast path comes from
-    # storing the base matrix itself as bf16 (CollectionConfig.device_dtype).
+    # f32 inputs get HIGHEST precision (full-f32 multiplies; the backend
+    # default rounds operands to bf16). bf16 inputs get DEFAULT — HIGHEST on
+    # bf16 would trigger multi-pass emulation and forfeit the native-rate
+    # MXU win that is the whole point of bf16 storage.
+    bf16_in = q.dtype == jnp.bfloat16 or base.dtype == jnp.bfloat16
+    if q.dtype != base.dtype:
+        # lax.dot_general requires matching dtypes; meet at the base's
+        # storage dtype (casting [B,D] queries is free next to the scan)
+        q = q.astype(base.dtype)
     dots = jax.lax.dot_general(
         q,
         base,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=(
+            jax.lax.Precision.DEFAULT if bf16_in else jax.lax.Precision.HIGHEST
+        ),
     )  # [B, N]
     if metric == _IP:
         return -dots
     if base_sq_norms is None:
         base_sq_norms = preprocess_norms(base)
-    q32 = q.astype(jnp.float32)
+    q32 = queries.astype(jnp.float32)  # norms from the ORIGINAL precision
     q_sq = jnp.sum(q32 * q32, axis=-1, keepdims=True)  # [B, 1]
+    return dist_from_dots(dots, q_sq, base_sq_norms[None, :], metric)
+
+
+def dist_from_dots(dots, q_sq, b_sq, metric: int):
+    """Metric formulas given dot products and squared norms (broadcastable).
+
+    Shared by the full scans and the exact-rerank pass so distances match
+    the reference's values bit-for-bit wherever the dots are f32-exact."""
+    if metric == _IP:
+        return -dots
     if metric == _L2:
-        sq = q_sq + base_sq_norms[None, :] - 2.0 * dots
+        sq = q_sq + b_sq - 2.0 * dots
         return jnp.sqrt(jnp.maximum(sq, 0.0))
     if metric == _COSINE:
-        denom = jnp.sqrt(q_sq) * jnp.sqrt(base_sq_norms[None, :])
+        denom = jnp.sqrt(q_sq) * jnp.sqrt(b_sq)
         cos = jnp.where(denom > _EPS, dots / jnp.maximum(denom, _EPS), 0.0)
         cos = jnp.clip(cos, -1.0, 1.0)
         # reference: zero query or zero base vector -> distance 1.0
-        zero = (q_sq <= _EPS) | (base_sq_norms[None, :] <= _EPS)
+        zero = (q_sq <= _EPS) | (b_sq <= _EPS)
         return jnp.where(zero, 1.0, 1.0 - cos)
     raise ValueError(f"unsupported metric code: {metric}")
 

@@ -203,3 +203,42 @@ class TestFlatCollection:
         col2 = engine2.get_database("db").get_collection("c")
         assert col2.config.index_type == "flat"
         pm2.stop()
+
+
+class TestFastScanRerank:
+    def test_rerank_distances_exact_and_recall_full(self, rng):
+        """bf16 first pass + f32 rerank: distances must equal the pure-f32
+        scan's values exactly; recall vs the exact oracle stays 1.0 here."""
+        from scintirete_tpu.types import SearchParams
+
+        vecs = rng.standard_normal((3000, 24)).astype(np.float32)
+        queries = rng.standard_normal((32, 24)).astype(np.float32)
+        fast = FlatIndex(dim=24, metric=DistanceMetric.COSINE,
+                         use_device=True, fast_scan=True)
+        slow = FlatIndex(dim=24, metric=DistanceMetric.COSINE,
+                         use_device=True, fast_scan=False)
+        ids = list(range(1, 3001))
+        fast.bulk_insert(ids, vecs)
+        slow.bulk_insert(ids, vecs)
+        assert "scan" not in slow._dev or not slow._dev
+        rf = fast.search_batch(queries, SearchParams(top_k=10))
+        assert "scan" in fast._dev  # two-pass mode engaged
+        rs = slow.search_batch(queries, SearchParams(top_k=10))
+        for a, b in zip(rf, rs):
+            assert [x[0] for x in a] == [x[0] for x in b]
+            # f32-exact up to summation order (~1 ULP)
+            np.testing.assert_allclose(
+                np.float32([x[1] for x in a]),
+                np.float32([x[1] for x in b]),
+                rtol=1e-6,
+            )
+
+    def test_bf16_collections_stay_single_pass(self, rng):
+        from scintirete_tpu.types import SearchParams
+
+        idx = FlatIndex(dim=8, metric=DistanceMetric.L2, use_device=True,
+                        device_dtype="bfloat16", fast_scan=True)
+        idx.bulk_insert([1, 2, 3], rng.standard_normal((3, 8)).astype(np.float32))
+        idx.search_batch(rng.standard_normal((2, 8)).astype(np.float32),
+                         SearchParams(top_k=2))
+        assert "scan" not in idx._dev  # no redundant bf16 copy

@@ -179,3 +179,31 @@ def test_reverse_edges_present(rng):
                 mutual += 1
     assert total > 0
     assert mutual / total > 0.5, "graph should be substantially bidirectional"
+
+
+def test_bf16_scan_recall(rng, monkeypatch):
+    """The TPU build path scans in bf16 (f32 accumulation). Force it on CPU
+    and hold the same recall gate — input rounding must not damage the
+    candidate sets enough to matter."""
+    monkeypatch.setenv("SCNT_BUILD_SCAN_DTYPE", "bfloat16")
+    n = max(knn_build.MIN_BUILD_SIZE, 2048)
+    base = clustered(rng, n, dim=16)
+    idx = HNSWIndex(
+        dim=16,
+        params=HNSWParams(m=8, ef_construction=60, ef_search=60, seed=7,
+                          neighbor_heuristic=True),
+        metric=DistanceMetric.COSINE,
+        use_device=True,
+        search_batch_size=256,
+    )
+    idx.bulk_insert(list(range(1, n + 1)), base)
+    queries = (base[rng.integers(0, n, 128)]
+               + 0.1 * rng.standard_normal((128, 16))).astype(np.float32)
+    want = brute_topk(queries, base, DistanceMetric.COSINE, 10)
+    res = idx.search_batch(queries, SearchParams(top_k=10, ef_search=80))
+    hits = 0
+    for i in range(128):
+        got = {r[0] - 1 for r in res[i]}
+        hits += len(got & set(want[i].tolist()))
+    recall = hits / (128 * 10)
+    assert recall >= 0.92, f"bf16-built graph recall {recall:.3f}"
