@@ -267,7 +267,10 @@ def _ef_beam_layer0(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("metric", "ef", "k", "max_steps", "expand", "spill"),
+    static_argnames=(
+        "metric", "ef", "k", "max_steps", "expand", "spill",
+        "use_pallas", "interpret",
+    ),
 )
 def _search_kernel_pivot(
     queries,  # [B, D] f32
@@ -284,6 +287,8 @@ def _search_kernel_pivot(
     max_steps: int,
     expand: int = SEARCH_EXPAND,
     spill: int = 0,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ):
     """TPU-first entry: ONE matmul against R sampled pivots replaces the
     upper-layer greedy descent (a pointer-chase of ~layers x moves serialized
@@ -291,35 +296,64 @@ def _search_kernel_pivot(
     local optimum, and the MXU computes all B x R distances in one shot.
     Parity note: result distances and candidate semantics are unchanged —
     only the entry point selection differs (the reference's descent is kept
-    as the `descent` entry mode and remains the build path)."""
+    as the `descent` entry mode and remains the build path).
+
+    ``use_pallas`` selects the fused Pallas scan (ops/pallas_pivot.py): the
+    [B, R] score matrix never leaves VMEM (6x the XLA scan at R=16k on one
+    v5e). Requires R % 512 == 0; cosine uses pre-normalized pivots (the
+    mirror uploads them normalized) and normalized queries, so the kernel's
+    1 - dot equals the XLA path's comparison form."""
     B = queries.shape[0]
     q32 = queries.astype(jnp.float32)
     q_sq = jnp.sum(q32 * q32, axis=-1)
     q_norm = jnp.sqrt(q_sq)
     dist_to = _make_dist_fn(queries, vectors, sq_norms, metric)
 
-    # pivot distances: [B, R] in one dot_general
-    dots = jax.lax.dot_general(
-        q32,
-        pivot_vecs.astype(jnp.float32),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    if metric == _IP:
-        pdist = -dots
-    elif metric == _L2:
-        pdist = q_sq[:, None] + pivot_sq[None, :] - 2.0 * dots
+    if use_pallas:
+        from scintirete_tpu.ops.pallas_pivot import pivot_entry_scan
+
+        pdel = deleted[pivots].astype(jnp.float32)
+        if metric == _COSINE:
+            qn = jnp.where(
+                q_norm[:, None] > 1e-30,
+                q32 / jnp.maximum(q_norm[:, None], 1e-30),
+                0.0,
+            )
+            cur_d, best = pivot_entry_scan(
+                qn, pivot_vecs, pivot_sq, pdel,
+                metric=metric, interpret=interpret,
+            )
+        else:
+            cur_d, best = pivot_entry_scan(
+                q32, pivot_vecs, pivot_sq, pdel,
+                metric=metric, interpret=interpret,
+            )
+        cur = pivots[best]
     else:
-        denom = q_norm[:, None] * jnp.sqrt(pivot_sq)[None, :]
-        cos = jnp.where(denom > 1e-30, dots / jnp.maximum(denom, 1e-30), 0.0)
-        cos = jnp.clip(cos, -1.0, 1.0)
-        zero = (q_sq[:, None] <= 1e-30) | (pivot_sq[None, :] <= 1e-30)
-        pdist = jnp.where(zero, 1.0, 1.0 - cos)
-    pdist = jnp.where(deleted[pivots][None, :], _INF, pdist)
-    best = jnp.argmin(pdist, axis=1)  # [B]
-    cur = pivots[best]
-    cur_d = jnp.take_along_axis(pdist, best[:, None], axis=1)[:, 0]
+        # pivot distances: [B, R] in one dot_general
+        dots = jax.lax.dot_general(
+            q32,
+            pivot_vecs.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if metric == _IP:
+            pdist = -dots
+        elif metric == _L2:
+            pdist = q_sq[:, None] + pivot_sq[None, :] - 2.0 * dots
+        else:
+            denom = q_norm[:, None] * jnp.sqrt(pivot_sq)[None, :]
+            cos = jnp.where(
+                denom > 1e-30, dots / jnp.maximum(denom, 1e-30), 0.0
+            )
+            cos = jnp.clip(cos, -1.0, 1.0)
+            zero = (q_sq[:, None] <= 1e-30) | (pivot_sq[None, :] <= 1e-30)
+            pdist = jnp.where(zero, 1.0, 1.0 - cos)
+        pdist = jnp.where(deleted[pivots][None, :], _INF, pdist)
+        best = jnp.argmin(pdist, axis=1)  # [B]
+        cur = pivots[best]
+        cur_d = jnp.take_along_axis(pdist, best[:, None], axis=1)[:, 0]
     # degenerate case: every pivot tombstoned -> empty entry, empty results
     cur = jnp.where(jnp.isfinite(cur_d), cur, -1)
 
@@ -760,6 +794,12 @@ class DeviceIndex:
                     [chunk, np.zeros((padded - n, chunk.shape[1]), np.float32)]
                 )
             if entry_mode == "pivot":
+                # fused Pallas pivot scan on real TPUs (score matrix stays
+                # in VMEM); XLA path on CPU / odd pivot counts
+                use_pallas = (
+                    jax.default_backend() == "tpu"
+                    and a["pivots"].shape[0] % 512 == 0
+                )
                 d, s, _ = _search_kernel_pivot(
                     jnp.asarray(chunk, jnp.float32),
                     a["vectors"],
@@ -775,6 +815,7 @@ class DeviceIndex:
                     max_steps=max_steps,
                     expand=expand,
                     spill=spill,
+                    use_pallas=use_pallas,
                 )
             else:
                 d, s, _ = _search_kernel(
