@@ -254,19 +254,41 @@ class FlatIndex:
         # matrix — bf16 MXU rate with f32-exact returned distances. bf16
         # collections already scan at the fast rate; no second copy needed.
         two_pass = self.fast_scan and dtype == jnp.float32
+        cosine = self.metric == DistanceMetric.COSINE
+
+        def scan_form(v: np.ndarray) -> np.ndarray:
+            # the fused lane scan ranks cosine by -dot over pre-normalized
+            # rows (zero rows stay zero -> dot 0, consistent with the
+            # reference's zero-vector cosine distance of 1.0)
+            if not cosine:
+                return v
+            n = np.linalg.norm(v, axis=1, keepdims=True)
+            return np.where(n > 1e-30, v / np.maximum(n, 1e-30), 0.0)
+
         dirty = self._dirty
         self._dirty = set()
         if self._dev_cap != self.cap or dirty is None or not self._dev:
             vecs = self.vectors
+            valid = ~self.deleted & (np.arange(self.cap) < self.count)
             self._dev = {
                 "vectors": jnp.asarray(vecs, dtype),
                 "sq_norms": jnp.asarray(
                     np.sum(vecs.astype(np.float32) ** 2, axis=1), jnp.float32
                 ),
-                "valid": jnp.asarray(~self.deleted & (np.arange(self.cap) < self.count)),
+                "valid": jnp.asarray(valid),
+                "invalid_f": jnp.asarray((~valid).astype(np.float32)),
             }
             if two_pass:
-                self._dev["scan"] = jnp.asarray(vecs, jnp.bfloat16)
+                sf = scan_form(vecs)
+                self._dev["scan"] = jnp.asarray(sf, jnp.bfloat16)
+                if cosine:
+                    # norms of the SCAN-form copy (1/0 for cosine); the
+                    # scan first pass must rank with these, not the raw
+                    # norms (other metrics reuse sq_norms at lookup)
+                    self._dev["scan_sq"] = jnp.asarray(
+                        np.sum(sf.astype(np.float32) ** 2, axis=1),
+                        jnp.float32,
+                    )
             self._dev_cap = self.cap
         elif dirty:
             rows = np.fromiter(dirty, np.int32, len(dirty))
@@ -274,9 +296,16 @@ class FlatIndex:
                 self._dev["vectors"], rows, self.vectors[rows]
             )
             if two_pass and "scan" in self._dev:
+                sf = scan_form(self.vectors[rows])
                 self._dev["scan"] = DeviceGraph._scatter_into(
-                    self._dev["scan"], rows, self.vectors[rows]
+                    self._dev["scan"], rows, sf
                 )
+                if cosine:
+                    self._dev["scan_sq"] = DeviceGraph._scatter_into(
+                        self._dev["scan_sq"],
+                        rows,
+                        np.sum(sf.astype(np.float32) ** 2, axis=1),
+                    )
             norms = np.sum(self.vectors[rows].astype(np.float32) ** 2, axis=1)
             self._dev["sq_norms"] = DeviceGraph._scatter_into(
                 self._dev["sq_norms"], rows, norms
@@ -285,13 +314,22 @@ class FlatIndex:
             self._dev["valid"] = DeviceGraph._scatter_into(
                 self._dev["valid"], rows, ok
             )
+            self._dev["invalid_f"] = DeviceGraph._scatter_into(
+                self._dev["invalid_f"], rows, (~ok).astype(np.float32)
+            )
         self._dev_version = self._version
 
     def _device_search(self, queries, k):
+        import jax
         import jax.numpy as jnp
 
         from scintirete_tpu.index.device import _fetch_packed
-        from scintirete_tpu.ops.flat_scan import flat_topk, flat_topk_rerank
+        from scintirete_tpu.ops.flat_scan import (
+            flat_topk,
+            flat_topk_fused,
+            flat_topk_rerank,
+        )
+        from scintirete_tpu.ops.pallas_scan import LANES
 
         if self._dev_version != self._version:
             self._sync()
@@ -301,15 +339,33 @@ class FlatIndex:
         out_dists = np.empty((B, k), np.float32)
         in_flight = []
         step = self.search_batch_size
+        # fused Pallas lane scan: score matrix stays in VMEM (needs Mosaic,
+        # a LANES-aligned capacity, and >= 1 sublane of queries)
+        use_fused = (
+            "scan" in a
+            and jax.default_backend() == "tpu"
+            and self.cap % LANES == 0
+        )
         for start in range(0, B, step):
             chunk = queries[start : start + step]
             n = chunk.shape[0]
-            padded = 1 << (n - 1).bit_length()
+            padded = max(1 << (n - 1).bit_length(), 8)
             if padded > n:
                 chunk = np.concatenate(
                     [chunk, np.zeros((padded - n, self.dim), np.float32)]
                 )
-            if "scan" in a:
+            if use_fused:
+                d, s = flat_topk_fused(
+                    jnp.asarray(chunk, jnp.float32),
+                    a["scan"],
+                    a["vectors"],
+                    a["invalid_f"],
+                    int(self.metric),
+                    k,
+                    a.get("scan_sq", a["sq_norms"]),
+                    width=max(4 * k, 64),
+                )
+            elif "scan" in a:
                 d, s = flat_topk_rerank(
                     jnp.asarray(chunk, jnp.float32),
                     a["scan"],
@@ -317,7 +373,7 @@ class FlatIndex:
                     a["valid"],
                     int(self.metric),
                     k,
-                    a["sq_norms"],
+                    a.get("scan_sq", a["sq_norms"]),
                     width=max(4 * k, 32),
                     recall_target=0.99,
                 )

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from scintirete_tpu.ops.distance import pairwise_distance
+from scintirete_tpu.types import DistanceMetric
 
 # max elements of the [B, N] score matrix we allow in one shot (f32): 1 GiB
 _SINGLE_SHOT_ELEMS = 256 * 1024 * 1024
@@ -101,6 +102,69 @@ def flat_topk(
         pad = k - kk
         top_d = jnp.pad(top_d, ((0, 0), (0, pad)), constant_values=jnp.inf)
         top_i = jnp.pad(top_i, ((0, 0), (0, pad)), constant_values=-1)
+    return top_d, jnp.where(jnp.isinf(top_d), -1, top_i)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "k", "width", "interpret"),
+)
+def flat_topk_fused(
+    queries: jax.Array,  # [B, D] f32
+    scan_base: jax.Array,  # [N, D] bf16, pre-normalized for cosine
+    exact_base: jax.Array,  # [N, D] f32 — rerank source
+    invalid: jax.Array,  # [N] f32 (1.0 = deleted/empty)
+    metric: int,
+    k: int,
+    base_sq_norms: jax.Array,  # [N] f32 (exact, from f32 vectors)
+    width: int = 64,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact search via the fused Pallas lane scan (ops/pallas_scan.py):
+    one corpus-streaming pass selects ~2*LANES winners per query with the
+    score matrix held in VMEM, then the top `width` are reranked against
+    the f32 matrix — returned distances are pairwise_distance's values.
+    Requires N % LANES == 0 (callers pad capacity to a power of two)."""
+    from scintirete_tpu.ops.distance import dist_from_dots
+    from scintirete_tpu.ops.pallas_scan import _MAX_B, lane_topk_scan
+
+    B, D = queries.shape
+    q32 = queries.astype(jnp.float32)
+    if metric == int(DistanceMetric.COSINE):
+        qn = jnp.sqrt(jnp.sum(q32 * q32, axis=1, keepdims=True))
+        q_scan = jnp.where(qn > 1e-30, q32 / jnp.maximum(qn, 1e-30), 0.0)
+    else:
+        q_scan = q32
+    parts = [
+        lane_topk_scan(
+            q_scan[s : s + _MAX_B], scan_base, base_sq_norms, invalid,
+            metric, interpret=interpret,
+        )
+        for s in range(0, B, _MAX_B)
+    ]
+    lane_d = jnp.concatenate([p[0] for p in parts], axis=0)  # [B, 2L]
+    lane_i = jnp.concatenate([p[1] for p in parts], axis=0)
+    width = min(width, lane_d.shape[1])
+    _, sel = jax.lax.top_k(-lane_d, width)
+    ti = jnp.take_along_axis(lane_i, sel, axis=1)  # [B, W] rows (-1 empty)
+
+    cand = exact_base[jnp.maximum(ti, 0)]  # [B, W, D] f32
+    dots = jnp.einsum(
+        "bd,bwd->bw", q32, cand,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    q_sq = jnp.sum(q32 * q32, axis=-1, keepdims=True)
+    c_sq = jnp.sum(cand * cand, axis=-1)
+    d = dist_from_dots(dots, q_sq, c_sq, metric)
+    d = jnp.where(ti < 0, jnp.inf, d)
+    kk = min(k, width)
+    top_d, sel2 = jax.lax.top_k(-d, kk)
+    top_d = -top_d
+    top_i = jnp.take_along_axis(ti, sel2, axis=1)
+    if k > kk:
+        top_d = jnp.pad(top_d, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
+        top_i = jnp.pad(top_i, ((0, 0), (0, k - kk)), constant_values=-1)
     return top_d, jnp.where(jnp.isinf(top_d), -1, top_i)
 
 

@@ -1,0 +1,138 @@
+"""Pallas kernel: fused whole-corpus scan (distance matmul + lane top-2).
+
+The XLA flat scan (ops/flat_scan.py) materializes [B, tile] score blocks in
+HBM between the matmul and approx_min_k — at 1M x 128 that is ~8 GB of HBM
+write+read traffic per 1k-query batch, an order of magnitude more than the
+256 MB needed to stream the corpus itself. This kernel fuses scoring and
+selection: each grid step loads one [TILE, D] bf16 base tile into VMEM,
+scores it on the MXU, and folds the [B, TILE] block into per-lane running
+(best, second-best) minima held in VMEM — the score matrix never exists in
+HBM, so the scan runs at corpus-streaming bandwidth + MXU rate.
+
+Selection semantics: lane j tracks the two smallest ranking scores among
+base rows {j, j+TILE, j+2*TILE, ...}. The 2*TILE lane winners per query are
+then exactly top-k'd and reranked in f32 by the caller
+(ops/flat_scan.flat_topk_fused). A true top-k item is lost only if THREE
+of the query's true top-k land in the same lane (expected loss at k=10,
+TILE=512: C(10,3)/512^2 ~ 0.05% of one item — far above any recall gate).
+
+Scores are RANKING-form, not reference distances (per-query monotone):
+  L2     : b_sq - 2*dot        (q_sq dropped — constant per query row)
+  cosine : -dot                 (base tile and queries pre-normalized)
+  IP     : -dot
+The caller reranks winners against the f32 matrix with the reference
+formulas (reference: internal/core/algorithm/distance.go:21-116), so
+returned distances are exact; the kernel only selects candidates.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from scintirete_tpu.types import DistanceMetric
+
+_L2 = int(DistanceMetric.L2)
+_COSINE = int(DistanceMetric.COSINE)
+_IP = int(DistanceMetric.INNER_PRODUCT)
+
+LANES = 512  # lane count = base rows per grid step; [B, LANES] stays in VMEM
+_MAX_B = 512  # per-call query rows; callers split larger batches
+
+
+def _lane_scan_kernel(
+    q_ref,  # [B, D] bf16 (VMEM, resident)
+    base_ref,  # [LANES, D] bf16 (VMEM, per grid step)
+    bsq_ref,  # [1, LANES] f32 (L2 only; zeros otherwise)
+    inv_ref,  # [1, LANES] f32 (1.0 = invalid slot)
+    d1_ref,  # out [B, LANES] f32 — lane best
+    i1_ref,  # out [B, LANES] i32
+    d2_ref,  # out [B, LANES] f32 — lane second-best
+    i2_ref,  # out [B, LANES] i32
+    *,
+    metric: int,
+):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        d1_ref[:] = jnp.full_like(d1_ref, jnp.inf)
+        i1_ref[:] = jnp.full_like(i1_ref, -1)
+        d2_ref[:] = jnp.full_like(d2_ref, jnp.inf)
+        i2_ref[:] = jnp.full_like(i2_ref, -1)
+
+    dots = jax.lax.dot_general(
+        q_ref[:],
+        base_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B, LANES]
+    if metric == _L2:
+        s = bsq_ref[:] - 2.0 * dots
+    else:  # cosine (pre-normalized) / IP: rank by negated dot
+        s = -dots
+    s = jnp.where(inv_ref[:] > 0.5, jnp.inf, s)
+    si = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + step * s.shape[1]
+
+    b1_d, b1_i = d1_ref[:], i1_ref[:]
+    promoted = s < b1_d
+    mid_d = jnp.where(promoted, b1_d, s)
+    mid_i = jnp.where(promoted, b1_i, si)
+    d1_ref[:] = jnp.where(promoted, s, b1_d)
+    i1_ref[:] = jnp.where(promoted, si, b1_i)
+    second = mid_d < d2_ref[:]
+    d2_ref[:] = jnp.where(second, mid_d, d2_ref[:])
+    i2_ref[:] = jnp.where(second, mid_i, i2_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "interpret"))
+def lane_topk_scan(
+    queries,  # [B, D] f32 (pre-normalized for cosine); B % 8 == 0
+    base,  # [N, D] bf16 (pre-normalized for cosine); N % LANES == 0
+    base_sq,  # [N] f32 squared norms (used for L2 ranking)
+    invalid,  # [N] f32 (1.0 = deleted/empty slot)
+    metric: int,
+    interpret: bool = False,
+):
+    """Returns (scores [B, 2*LANES] ranking-form asc-unsorted, rows [B,
+    2*LANES] i32, -1 = empty). Each query's true top-k are among the
+    winners except for 3-in-a-lane collisions (see module docstring)."""
+    B, D = queries.shape
+    N = base.shape[0]
+    assert N % LANES == 0, f"N must be a multiple of {LANES}"
+    assert B <= _MAX_B, f"split batches above {_MAX_B} rows"
+    qb = queries.astype(jnp.bfloat16)
+
+    grid = (N // LANES,)
+    kernel = functools.partial(_lane_scan_kernel, metric=metric)
+    d1, i1, d2, i2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (LANES, D), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((B, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, LANES), jnp.int32),
+        ),
+        interpret=interpret,
+    )(qb, base, base_sq.reshape(1, N), invalid.reshape(1, N))
+    return (
+        jnp.concatenate([d1, d2], axis=1),
+        jnp.concatenate([i1, i2], axis=1),
+    )

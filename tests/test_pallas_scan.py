@@ -1,0 +1,130 @@
+"""Fused Pallas lane scan vs numpy/brute-force (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from scintirete_tpu.ops.pallas_scan import LANES, lane_topk_scan
+from scintirete_tpu.ops.flat_scan import flat_topk_fused
+from scintirete_tpu.types import DistanceMetric
+
+L2, COS, IP = (
+    int(DistanceMetric.L2),
+    int(DistanceMetric.COSINE),
+    int(DistanceMetric.INNER_PRODUCT),
+)
+
+
+def rank_scores(q, base, b_sq, invalid, metric):
+    """Numpy mirror of the kernel's ranking-form scores."""
+    dots = q.astype(np.float32) @ base.astype(np.float32).T
+    if metric == L2:
+        s = b_sq[None, :] - 2.0 * dots
+    else:
+        s = -dots
+    return np.where(invalid[None, :] > 0.5, np.inf, s)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+class TestLaneScan:
+    @pytest.mark.parametrize("metric", [L2, COS, IP])
+    def test_lane_top2_semantics(self, rng, metric):
+        B, D, N = 16, 32, 2 * LANES
+        q = rng.standard_normal((B, D)).astype(np.float32)
+        base = rng.standard_normal((N, D)).astype(np.float32)
+        if metric == COS:
+            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            base = base / np.linalg.norm(base, axis=1, keepdims=True)
+        b_sq = np.sum(base * base, axis=1).astype(np.float32)
+        invalid = np.zeros(N, np.float32)
+        invalid[3] = 1.0  # a deleted row must never surface
+
+        base_b = jnp.asarray(base, jnp.bfloat16)
+        d, i = lane_topk_scan(
+            jnp.asarray(q), base_b, jnp.asarray(b_sq), jnp.asarray(invalid),
+            metric, interpret=True,
+        )
+        d, i = np.asarray(d), np.asarray(i)
+        assert d.shape == (B, 2 * LANES) and i.shape == (B, 2 * LANES)
+        assert not np.any(i == 3)
+
+        # per lane: returned pair must be the two best of that lane's rows
+        # (bf16 dots -> compare against the bf16-rounded reference)
+        ref = rank_scores(
+            np.asarray(jnp.asarray(q, jnp.bfloat16), np.float32),
+            np.asarray(base_b, np.float32),
+            b_sq, invalid, metric,
+        )
+        for b in range(0, B, 7):
+            for lane in range(0, LANES, 101):
+                rows = np.arange(lane, N, LANES)
+                order = rows[np.argsort(ref[b, rows], kind="stable")]
+                got = {i[b, lane], i[b, LANES + lane]}
+                assert got == set(order[:2].tolist()), (b, lane)
+
+    def test_invalid_all(self, rng):
+        B, D, N = 8, 16, LANES
+        q = rng.standard_normal((B, D)).astype(np.float32)
+        base = rng.standard_normal((N, D)).astype(np.float32)
+        d, i = lane_topk_scan(
+            jnp.asarray(q), jnp.asarray(base, jnp.bfloat16),
+            jnp.asarray(np.sum(base * base, axis=1)),
+            jnp.ones(N, jnp.float32), L2, interpret=True,
+        )
+        assert np.all(np.isinf(np.asarray(d)))
+        assert np.all(np.asarray(i) == -1)
+
+
+class TestFusedTopK:
+    @pytest.mark.parametrize("metric", [L2, COS, IP])
+    def test_recall_and_exact_distances(self, rng, metric):
+        from scintirete_tpu.ops.distance import distance_np
+
+        B, D, N, k = 16, 24, 2 * LANES, 10
+        q = rng.standard_normal((B, D)).astype(np.float32)
+        base = rng.standard_normal((N, D)).astype(np.float32)
+        invalid = np.zeros(N, np.float32)
+        invalid[N - 5 :] = 1.0
+        if metric == COS:
+            scan = base / np.linalg.norm(base, axis=1, keepdims=True)
+            scan_sq = np.ones(N, np.float32)
+        else:
+            scan = base
+            scan_sq = np.sum(base * base, axis=1).astype(np.float32)
+
+        d, s = flat_topk_fused(
+            jnp.asarray(q), jnp.asarray(scan, jnp.bfloat16),
+            jnp.asarray(base), jnp.asarray(invalid), metric, k,
+            jnp.asarray(scan_sq), interpret=True,
+        )
+        d, s = np.asarray(d), np.asarray(s)
+
+        ref = distance_np(q, base, DistanceMetric(metric)).astype(np.float32)
+        ref = np.where(invalid[None, :] > 0.5, np.inf, ref)
+        true_i = np.argsort(ref, axis=1, kind="stable")[:, :k]
+        hits = sum(
+            len(set(s[b].tolist()) & set(true_i[b].tolist())) for b in range(B)
+        )
+        assert hits / (B * k) >= 0.95
+        # returned distances are the exact f32 values for the chosen rows
+        for b in range(B):
+            np.testing.assert_allclose(
+                d[b], ref[b, s[b]], rtol=1e-5, atol=1e-6
+            )
+
+    def test_deleted_never_returned(self, rng):
+        B, D, N = 8, 16, LANES
+        base = rng.standard_normal((N, D)).astype(np.float32)
+        q = base[:B] + 0.01 * rng.standard_normal((B, D)).astype(np.float32)
+        invalid = np.zeros(N, np.float32)
+        invalid[0] = 1.0  # query 0's nearest row is deleted
+        d, s = flat_topk_fused(
+            jnp.asarray(q), jnp.asarray(base, jnp.bfloat16),
+            jnp.asarray(base), jnp.asarray(invalid), L2, 5,
+            jnp.asarray(np.sum(base * base, axis=1)), interpret=True,
+        )
+        assert not np.any(np.asarray(s) == 0)
