@@ -38,6 +38,18 @@ from scintirete_tpu.types import DistanceMetric, HNSWParams, SearchParams
 _MIN_CAP = 256
 
 
+def _quant8(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row symmetric int8 quantization (host mirror of
+    ops.pallas_scan.quantize_rows)."""
+    amax = np.max(np.abs(v), axis=1, keepdims=True)
+    scale = amax / 127.0
+    q = np.where(scale > 0.0, np.round(v / np.maximum(scale, 1e-30)), 0.0)
+    return (
+        np.clip(q, -127, 127).astype(np.int8),
+        scale[:, 0].astype(np.float32),
+    )
+
+
 def _grow_to(arr: np.ndarray, cap: int, fill) -> np.ndarray:
     new = np.full((cap,) + arr.shape[1:], fill, dtype=arr.dtype)
     new[: arr.shape[0]] = arr
@@ -67,6 +79,7 @@ class FlatIndex:
         use_device: bool = True,
         search_batch_size: int = 1024,
         fast_scan: bool = True,
+        scan_dtype: str = "bfloat16",  # "bfloat16" | "int8" first-pass copy
         **_: Any,
     ):
         self.dim = dim
@@ -75,8 +88,9 @@ class FlatIndex:
         self.device_dtype = device_dtype
         self.use_device = use_device
         self.search_batch_size = search_batch_size
-        # bf16 first pass + f32 rerank (see _sync); +256 B/vec HBM at 128-d
+        # bf16/int8 first pass + f32 rerank (see _sync)
         self.fast_scan = fast_scan
+        self.scan_dtype = scan_dtype
 
         self.cap = _MIN_CAP
         self.count = 0  # slots handed out (includes tombstones)
@@ -280,7 +294,12 @@ class FlatIndex:
             }
             if two_pass:
                 sf = scan_form(vecs)
-                self._dev["scan"] = jnp.asarray(sf, jnp.bfloat16)
+                if self.scan_dtype == "int8":
+                    q8, sc = _quant8(sf)
+                    self._dev["scan"] = jnp.asarray(q8)
+                    self._dev["scan_scale"] = jnp.asarray(sc)
+                else:
+                    self._dev["scan"] = jnp.asarray(sf, jnp.bfloat16)
                 if cosine:
                     # norms of the SCAN-form copy (1/0 for cosine); the
                     # scan first pass must rank with these, not the raw
@@ -297,9 +316,18 @@ class FlatIndex:
             )
             if two_pass and "scan" in self._dev:
                 sf = scan_form(self.vectors[rows])
-                self._dev["scan"] = DeviceGraph._scatter_into(
-                    self._dev["scan"], rows, sf
-                )
+                if self.scan_dtype == "int8":
+                    q8, sc = _quant8(sf)
+                    self._dev["scan"] = DeviceGraph._scatter_into(
+                        self._dev["scan"], rows, q8
+                    )
+                    self._dev["scan_scale"] = DeviceGraph._scatter_into(
+                        self._dev["scan_scale"], rows, sc
+                    )
+                else:
+                    self._dev["scan"] = DeviceGraph._scatter_into(
+                        self._dev["scan"], rows, sf
+                    )
                 if cosine:
                     self._dev["scan_sq"] = DeviceGraph._scatter_into(
                         self._dev["scan_sq"],
@@ -346,6 +374,9 @@ class FlatIndex:
             and jax.default_backend() == "tpu"
             and self.cap % LANES == 0
         )
+        # an int8 scan copy is only usable by the fused kernel; elsewhere
+        # fall back to the plain f32 scan
+        scan8 = "scan" in a and a["scan"].dtype == jnp.int8
         for start in range(0, B, step):
             chunk = queries[start : start + step]
             n = chunk.shape[0]
@@ -364,8 +395,9 @@ class FlatIndex:
                     k,
                     a.get("scan_sq", a["sq_norms"]),
                     width=max(4 * k, 64),
+                    base_scale=a.get("scan_scale"),
                 )
-            elif "scan" in a:
+            elif "scan" in a and not scan8:
                 d, s = flat_topk_rerank(
                     jnp.asarray(chunk, jnp.float32),
                     a["scan"],

@@ -111,13 +111,14 @@ def flat_topk(
 )
 def flat_topk_fused(
     queries: jax.Array,  # [B, D] f32
-    scan_base: jax.Array,  # [N, D] bf16, pre-normalized for cosine
+    scan_base: jax.Array,  # [N, D] bf16 or int8, pre-normalized for cosine
     exact_base: jax.Array,  # [N, D] f32 — rerank source
     invalid: jax.Array,  # [N] f32 (1.0 = deleted/empty)
     metric: int,
     k: int,
-    base_sq_norms: jax.Array,  # [N] f32 (exact, from f32 vectors)
+    base_sq_norms: jax.Array,  # [N] f32 (of the SCAN-form f32 rows)
     width: int = 64,
+    base_scale: jax.Array | None = None,  # [N] f32, required for int8
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact search via the fused Pallas lane scan (ops/pallas_scan.py):
@@ -126,7 +127,11 @@ def flat_topk_fused(
     the f32 matrix — returned distances are pairwise_distance's values.
     Requires N % LANES == 0 (callers pad capacity to a power of two)."""
     from scintirete_tpu.ops.distance import dist_from_dots
-    from scintirete_tpu.ops.pallas_scan import _MAX_B, lane_topk_scan
+    from scintirete_tpu.ops.pallas_scan import (
+        _MAX_B,
+        lane_topk_scan,
+        lane_topk_scan_int8,
+    )
 
     B, D = queries.shape
     q32 = queries.astype(jnp.float32)
@@ -135,13 +140,23 @@ def flat_topk_fused(
         q_scan = jnp.where(qn > 1e-30, q32 / jnp.maximum(qn, 1e-30), 0.0)
     else:
         q_scan = q32
-    parts = [
-        lane_topk_scan(
-            q_scan[s : s + _MAX_B], scan_base, base_sq_norms, invalid,
-            metric, interpret=interpret,
-        )
-        for s in range(0, B, _MAX_B)
-    ]
+    if scan_base.dtype == jnp.int8:
+        assert base_scale is not None, "int8 scan needs per-row scales"
+        parts = [
+            lane_topk_scan_int8(
+                q_scan[s : s + _MAX_B], scan_base, base_scale,
+                base_sq_norms, invalid, metric, interpret=interpret,
+            )
+            for s in range(0, B, _MAX_B)
+        ]
+    else:
+        parts = [
+            lane_topk_scan(
+                q_scan[s : s + _MAX_B], scan_base, base_sq_norms, invalid,
+                metric, interpret=interpret,
+            )
+            for s in range(0, B, _MAX_B)
+        ]
     lane_d = jnp.concatenate([p[0] for p in parts], axis=0)  # [B, 2L]
     lane_i = jnp.concatenate([p[1] for p in parts], axis=0)
     width = min(width, lane_d.shape[1])

@@ -89,6 +89,127 @@ def _lane_scan_kernel(
     i2_ref[:] = jnp.where(second, mid_i, i2_ref[:])
 
 
+def _lane_scan_kernel_int8(
+    q_ref,  # [B, D] i8 (VMEM, resident)
+    qs_ref,  # [B, 1] f32 per-query dequant scale
+    base_ref,  # [LANES, D] i8 (VMEM, per grid step)
+    bs_ref,  # [1, LANES] f32 per-row dequant scale
+    bsq_ref,  # [1, LANES] f32 (L2 only)
+    inv_ref,  # [1, LANES] f32
+    d1_ref, i1_ref, d2_ref, i2_ref,  # out [B, LANES]
+    *,
+    metric: int,
+):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        d1_ref[:] = jnp.full_like(d1_ref, jnp.inf)
+        i1_ref[:] = jnp.full_like(i1_ref, -1)
+        d2_ref[:] = jnp.full_like(d2_ref, jnp.inf)
+        i2_ref[:] = jnp.full_like(i2_ref, -1)
+
+    dots = jax.lax.dot_general(
+        q_ref[:],
+        base_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)  # [B, LANES] int32 exact -> f32
+    if metric == _L2:
+        # true dot ~= dots * (qs * bs); q_sq dropped (rank-invariant)
+        s = bsq_ref[:] - 2.0 * dots * (qs_ref[:] * bs_ref[:])
+    else:  # cosine (pre-normalized) / IP: qs is rank-invariant per query
+        s = -dots * bs_ref[:]
+    s = jnp.where(inv_ref[:] > 0.5, jnp.inf, s)
+    si = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + step * s.shape[1]
+
+    b1_d, b1_i = d1_ref[:], i1_ref[:]
+    promoted = s < b1_d
+    mid_d = jnp.where(promoted, b1_d, s)
+    mid_i = jnp.where(promoted, b1_i, si)
+    d1_ref[:] = jnp.where(promoted, s, b1_d)
+    i1_ref[:] = jnp.where(promoted, si, b1_i)
+    second = mid_d < d2_ref[:]
+    d2_ref[:] = jnp.where(second, mid_d, d2_ref[:])
+    i2_ref[:] = jnp.where(second, mid_i, i2_ref[:])
+
+
+def quantize_rows(v):
+    """Per-row symmetric int8: returns (q8 [N, D] i8, scale [N] f32) with
+    v ~= q8 * scale[:, None]. Zero rows quantize to zeros with scale 0."""
+    amax = jnp.max(jnp.abs(v), axis=-1, keepdims=True)
+    scale = amax / 127.0
+    q = jnp.where(
+        scale > 0.0,
+        jnp.round(v / jnp.maximum(scale, 1e-30)),
+        0.0,
+    )
+    return (
+        jnp.clip(q, -127, 127).astype(jnp.int8),
+        scale[..., 0].astype(jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "interpret"))
+def lane_topk_scan_int8(
+    queries,  # [B, D] f32 (pre-normalized for cosine); B % 8 == 0
+    base8,  # [N, D] i8 per-row quantized (pre-normalized for cosine)
+    base_scale,  # [N] f32 dequant scales
+    base_sq,  # [N] f32 squared norms of the f32 scan-form rows (L2)
+    invalid,  # [N] f32
+    metric: int,
+    interpret: bool = False,
+):
+    """int8 variant of lane_topk_scan: half the scan-copy HBM traffic and
+    the MXU's double int8 rate. Ranking error vs bf16 is bounded by the
+    per-row quantization step (~0.8%); the caller's exact f32 rerank makes
+    returned results exact either way."""
+    B, D = queries.shape
+    N = base8.shape[0]
+    assert N % LANES == 0, f"N must be a multiple of {LANES}"
+    assert B <= _MAX_B, f"split batches above {_MAX_B} rows"
+    q8, q_scale = quantize_rows(queries.astype(jnp.float32))
+
+    grid = (N // LANES,)
+    kernel = functools.partial(_lane_scan_kernel_int8, metric=metric)
+    d1, i1, d2, i2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (LANES, D), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((B, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, LANES), jnp.int32),
+        ),
+        interpret=interpret,
+    )(
+        q8,
+        q_scale.reshape(B, 1),
+        base8,
+        base_scale.reshape(1, N),
+        base_sq.reshape(1, N),
+        invalid.reshape(1, N),
+    )
+    return (
+        jnp.concatenate([d1, d2], axis=1),
+        jnp.concatenate([i1, i2], axis=1),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "interpret"))
 def lane_topk_scan(
     queries,  # [B, D] f32 (pre-normalized for cosine); B % 8 == 0

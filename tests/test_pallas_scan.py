@@ -116,6 +116,40 @@ class TestFusedTopK:
                 d[b], ref[b, s[b]], rtol=1e-5, atol=1e-6
             )
 
+    @pytest.mark.parametrize("metric", [L2, COS, IP])
+    def test_int8_recall_and_exact_distances(self, rng, metric):
+        from scintirete_tpu.index.flat import _quant8
+        from scintirete_tpu.ops.distance import distance_np
+
+        B, D, N, k = 16, 24, 2 * LANES, 10
+        q = rng.standard_normal((B, D)).astype(np.float32)
+        base = rng.standard_normal((N, D)).astype(np.float32)
+        invalid = np.zeros(N, np.float32)
+        if metric == COS:
+            scan = base / np.linalg.norm(base, axis=1, keepdims=True)
+            scan_sq = np.ones(N, np.float32)
+        else:
+            scan = base
+            scan_sq = np.sum(base * base, axis=1).astype(np.float32)
+        q8, sc = _quant8(scan)
+
+        d, s = flat_topk_fused(
+            jnp.asarray(q), jnp.asarray(q8), jnp.asarray(base),
+            jnp.asarray(invalid), metric, k, jnp.asarray(scan_sq),
+            base_scale=jnp.asarray(sc), interpret=True,
+        )
+        d, s = np.asarray(d), np.asarray(s)
+        ref = distance_np(q, base, DistanceMetric(metric)).astype(np.float32)
+        true_i = np.argsort(ref, axis=1, kind="stable")[:, :k]
+        hits = sum(
+            len(set(s[b].tolist()) & set(true_i[b].tolist())) for b in range(B)
+        )
+        assert hits / (B * k) >= 0.95
+        for b in range(B):
+            np.testing.assert_allclose(
+                d[b], ref[b, s[b]], rtol=1e-5, atol=1e-6
+            )
+
     def test_deleted_never_returned(self, rng):
         B, D, N = 8, 16, LANES
         base = rng.standard_normal((N, D)).astype(np.float32)
