@@ -59,7 +59,11 @@ _L2 = int(DistanceMetric.L2)
 _COSINE = int(DistanceMetric.COSINE)
 _IP = int(DistanceMetric.INNER_PRODUCT)
 
-_INF = jnp.float32(jnp.inf)
+# numpy scalar, NOT a device array: a jnp scalar here becomes a device
+# constant embedded in every kernel's jaxpr, and each per-process
+# lowering then BLOCKS on a device fetch for its value (~1 s over the
+# tunneled TPU, times every kernel variant)
+_INF = np.float32(np.inf)
 
 # candidates expanded per beam step. Search uses 4 (thin fast steps win at
 # serving batch sizes); the build beams use 8 (fewer, fatter steps suit the

@@ -108,7 +108,8 @@ def _kernels():
 
     from scintirete_tpu.ops.distance import pairwise_distance
 
-    INF = jnp.float32(jnp.inf)
+    INF = np.float32(np.inf)  # numpy: a jnp scalar would embed a
+    # device constant whose value every fresh lowering blocks on
 
     @functools.partial(jax.jit, static_argnames=("metric", "c", "tile"))
     def knn_block(
@@ -244,6 +245,43 @@ def _kernels():
     }
 
 
+def _drain_flight(
+    flight: list,  # [(qs, qe, ci_dev, cd_dev)] — equal widths per group
+    out_i: np.ndarray,
+    out_d: np.ndarray,
+) -> None:
+    """Materialize deferred device results with ONE packed transfer.
+
+    Fetching device arrays one-by-one over the tunneled TPU costs ~1 s of
+    round-trip latency per array for Pallas-kernel outputs; packing every
+    (dist, slot) pair into one device-side buffer (device._fetch_packed)
+    makes the whole group a single transfer."""
+    from scintirete_tpu.index.device import _fetch_packed
+
+    # fixed 64-ary groups: the packed fetch lowers to one concatenate HLO
+    # whose operand count is part of the compiled shape — padding every
+    # group to exactly 64 entries (repeats of the first, dropped on host)
+    # bounds the compile variants at any collection size
+    GROUP = 64
+    for g0 in range(0, len(flight), GROUP):
+        group = flight[g0 : g0 + GROUP]
+        arity = GROUP  # pad to the smallest ladder arity that fits
+        for a in (4, 16, GROUP):
+            if len(group) <= a:
+                arity = a
+                break
+        padded = group + [group[0]] * (arity - len(group))
+        d_host, i_host = _fetch_packed(
+            [cd for _, _, _, cd in padded], [ci for _, _, ci, _ in padded]
+        )
+        row = 0
+        for qs, qe, ci, _ in group:
+            n = ci.shape[0]
+            out_i[qs:qe] = i_host[row : row + (qe - qs)]
+            out_d[qs:qe] = d_host[row : row + (qe - qs)]
+            row += n
+
+
 def _incoming_host(
     fwd_i: np.ndarray,  # [Nm, F] forward-selected neighbors (-1 pad)
     fwd_d: np.ndarray,
@@ -333,13 +371,39 @@ def _scan_rounds(
     pass runs against a SEPARATE tiny [_ROUND0*2, D] base (a full-width scan
     for a 128-column job was half the 1M build's scan time in round 2
     profiling), reusing each round's already-uploaded query block."""
+    import jax
     import jax.numpy as jnp
+
+    from scintirete_tpu.ops.pallas_scan import (
+        _MAX_B,
+        LANES,
+        knn_lane_topc,
+    )
 
     K = _kernels()
     nm, dim = member_vecs.shape
     npad = base_j.shape[0]
     dtype = base_j.dtype
     tile = min(_TILE, npad)
+    # fused Pallas scan (scores stay in VMEM — the XLA path's [Bq, tile]
+    # score blocks in HBM were ~90% of round-2's 1M build time) on real
+    # TPUs; grid sizes walk a pow-4 ladder to bound compile variants
+    use_fused = (
+        jax.default_backend() == "tpu"
+        and npad % LANES == 0
+        and dtype == jnp.bfloat16
+    )
+    max_tiles = npad // LANES
+
+    def grid_for(prefix: int) -> int:
+        # x16 ladder: each distinct grid size is its own kernel program,
+        # and every program costs a fresh per-process lowering + load over
+        # the tunnel — coarse steps waste some masked MXU work on small
+        # prefixes (cheap) to keep the program count tiny
+        g = 1
+        while g * LANES < prefix and g < max_tiles:
+            g *= 16
+        return min(g, max_tiles)
 
     cand_i = np.full((nm, c), -1, np.int32)
     cand_d = np.full((nm, c), np.inf, np.float32)
@@ -375,11 +439,24 @@ def _scan_rounds(
             for qs in range(start, stop, _QBLOCK):
                 qe = min(qs + _QBLOCK, stop)
                 q_j, si_j = upload_block(qs, qe)
-                cd, ci = K["knn_block"](
-                    q_j, si_j, base_j, base_sq, jnp.int32(prefix),
-                    metric=metric, c=c, tile=tile,
-                )
-                in_flight.append((qs, qe, ci, cd))
+                if use_fused:
+                    g = grid_for(prefix)
+                    for sub in range(0, qe - qs, _MAX_B):
+                        cd, ci = knn_lane_topc(
+                            q_j[sub : sub + _MAX_B],
+                            si_j[sub : sub + _MAX_B],
+                            base_j, base_sq, jnp.int32(prefix),
+                            metric=metric, c=c, grid_tiles=g,
+                        )
+                        in_flight.append(
+                            (qs + sub, min(qs + sub + _MAX_B, qe), ci, cd)
+                        )
+                else:
+                    cd, ci = K["knn_block"](
+                        q_j, si_j, base_j, base_sq, jnp.int32(prefix),
+                        metric=metric, c=c, tile=tile,
+                    )
+                    in_flight.append((qs, qe, ci, cd))
                 if do_sparse:
                     # same uploaded block, long-range candidates
                     scd, sci = K["knn_block"](
@@ -389,12 +466,13 @@ def _scan_rounds(
                     sp_flight.append((qs, qe, sci, scd))
             start = stop
             prefix = min(prefix * 2, nm)
-        for qs, qe, ci, cd in in_flight:
-            cand_i[qs:qe] = np.asarray(ci)[: qe - qs]
-            cand_d[qs:qe] = np.asarray(cd)[: qe - qs]
-        for qs, qe, ci, cd in sp_flight:
-            sp_i[qs:qe] = np.asarray(ci)[: qe - qs]
-            sp_d[qs:qe] = np.asarray(cd)[: qe - qs]
+        # ONE packed device->host transfer per result group: fetching each
+        # Pallas output individually costs ~1 s of tunnel round trip PER
+        # ARRAY (measured: 128 small fetches = 117 s); routed through a
+        # device-side concat+bitcast the whole layer is a single transfer
+        _drain_flight(in_flight, cand_i, cand_d)
+        if sp_flight:
+            _drain_flight(sp_flight, sp_i, sp_d)
 
     if not do_sparse:  # one round covered everything; nothing to add
         return cand_i, cand_d
@@ -505,6 +583,14 @@ def _build_layer(
         return _build_layer_host(
             member_vecs, metric, max_deg, n_candidates, heuristic
         )
+    if metric == 2:
+        # cosine: scan-form (normalized) members — distances and adjacency
+        # are scale-invariant, and the fused lane scan ranks by -dot over
+        # normalized rows
+        norms = np.linalg.norm(member_vecs, axis=1, keepdims=True)
+        member_vecs = np.where(
+            norms > 1e-30, member_vecs / np.maximum(norms, 1e-30), 0.0
+        ).astype(np.float32)
 
     K = _kernels()
     c = min(n_candidates, max(nm - 1, 1))
@@ -512,7 +598,7 @@ def _build_layer(
     # ONE padded base upload per layer, shared by the candidate scans and
     # the selection gathers (round-2 profiling showed the 0.5 GB layer-0
     # matrix crossing the tunnel twice)
-    npad = _pad_pow2(nm, minimum=_ROUND0 * 2)
+    npad = _pad_pow4(nm, minimum=max(_ROUND0 * 2, 2048))
     base = np.zeros((npad, dim), np.float32)
     base[:nm] = member_vecs
     with _phase(f"upload_n{nm}"):
@@ -540,13 +626,8 @@ def _build_layer(
                 jnp.asarray(ci), jnp.asarray(cd), base_j,
                 metric=metric, max_deg=max_deg, heuristic=heuristic,
             )
-            in_flight.append((qs, qe, si, sd))
-        for qs, qe, si, sd in in_flight:
-            si_np = np.asarray(si)[: qe - qs]
-            sd_np = np.asarray(sd)[: qe - qs]
-            w = min(si_np.shape[1], max_deg)
-            out_i[qs:qe, :w] = si_np[:, :w]
-            out_d[qs:qe, :w] = sd_np[:, :w]
+            in_flight.append((qs, qe, si[:, :max_deg], sd[:, :max_deg]))
+        _drain_flight(in_flight, out_i, out_d)
         return out_i, out_d
 
     # phase 2: forward selection

@@ -134,6 +134,126 @@ def _lane_scan_kernel_int8(
     i2_ref[:] = jnp.where(second, mid_i, i2_ref[:])
 
 
+def _knn_lane_kernel(
+    nvalid_ref,  # [1, 1] i32 (SMEM) — true prefix length
+    q_ref,  # [B, D] bf16 (VMEM, resident)
+    self_ref,  # [B, 1] i32 — member index of each row (self-exclusion)
+    base_ref,  # [LANES, D] bf16 (VMEM, per grid step)
+    bsq_ref,  # [1, LANES] f32 (L2 only)
+    d1_ref, i1_ref, d2_ref, i2_ref,  # out [B, LANES]
+    *,
+    metric: int,
+):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        d1_ref[:] = jnp.full_like(d1_ref, jnp.inf)
+        i1_ref[:] = jnp.full_like(i1_ref, -1)
+        d2_ref[:] = jnp.full_like(d2_ref, jnp.inf)
+        i2_ref[:] = jnp.full_like(i2_ref, -1)
+
+    dots = jax.lax.dot_general(
+        q_ref[:],
+        base_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B, LANES]
+    if metric == _L2:
+        s = bsq_ref[:] - 2.0 * dots
+    else:
+        s = -dots
+    si = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + step * s.shape[1]
+    bad = (si >= nvalid_ref[0, 0]) | (si == self_ref[:])
+    s = jnp.where(bad, jnp.inf, s)
+
+    b1_d, b1_i = d1_ref[:], i1_ref[:]
+    promoted = s < b1_d
+    mid_d = jnp.where(promoted, b1_d, s)
+    mid_i = jnp.where(promoted, b1_i, si)
+    d1_ref[:] = jnp.where(promoted, s, b1_d)
+    i1_ref[:] = jnp.where(promoted, si, b1_i)
+    second = mid_d < d2_ref[:]
+    d2_ref[:] = jnp.where(second, mid_d, d2_ref[:])
+    i2_ref[:] = jnp.where(second, mid_i, i2_ref[:])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric", "c", "grid_tiles", "interpret")
+)
+def knn_lane_topc(
+    queries,  # [B, D] f32 SCAN-form (normalized for cosine); B % 8 == 0
+    self_idx,  # [B] i32 member index per row (-1 = no exclusion)
+    base,  # [N, D] bf16 SCAN-form; N % LANES == 0
+    base_sq,  # [N] f32 squared norms of the f32 scan-form rows
+    n_valid,  # scalar i32 — columns >= n_valid are masked out
+    metric: int,
+    c: int,
+    grid_tiles: int,  # tiles scanned; grid_tiles * LANES covers n_valid
+    interpret: bool = False,
+):
+    """Exact-ish top-c prefix neighbors for the bulk builder: the fused
+    lane scan over the first grid_tiles * LANES base rows, self-excluded,
+    then an exact top-c over the 2*LANES lane winners. Returns TRUE
+    distances (reference finalized form — q_sq re-added and sqrt'ed for
+    L2), comparable across query rows, so reverse-edge capping and
+    selection downstream see the same values as the XLA scan (up to bf16
+    input rounding). Selection loss needs 3 of a row's true top-c in one
+    lane — immaterial for candidate pools (c<=64 from 1024 winners)."""
+    B, D = queries.shape
+    N = base.shape[0]
+    assert N % LANES == 0 and grid_tiles <= N // LANES
+    assert B <= _MAX_B, f"split batches above {_MAX_B} rows"
+    q32 = queries.astype(jnp.float32)
+    qb = q32.astype(jnp.bfloat16)
+
+    grid = (grid_tiles,)
+    kernel = functools.partial(_knn_lane_kernel, metric=metric)
+    d1, i1, d2, i2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (LANES, D), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((B, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, LANES), jnp.int32),
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(n_valid, jnp.int32).reshape(1, 1),
+        qb,
+        jnp.asarray(self_idx, jnp.int32).reshape(B, 1),
+        base,
+        base_sq.reshape(1, N),
+    )
+    lane_d = jnp.concatenate([d1, d2], axis=1)
+    lane_i = jnp.concatenate([i1, i2], axis=1)
+    neg_d, sel = jax.lax.top_k(-lane_d, c)
+    cd = -neg_d
+    ci = jnp.take_along_axis(lane_i, sel, axis=1)
+    # ranking-form -> reference finalized distances (cross-row comparable)
+    if metric == _L2:
+        q_sq = jnp.sum(q32 * q32, axis=1, keepdims=True)
+        cd = jnp.sqrt(jnp.maximum(cd + q_sq, 0.0))
+    elif metric == _COSINE:
+        cd = 1.0 + cd  # -cos -> 1 - cos
+    cd = jnp.where(ci < 0, jnp.inf, cd)
+    return cd, ci
+
+
 def quantize_rows(v):
     """Per-row symmetric int8: returns (q8 [N, D] i8, scale [N] f32) with
     v ~= q8 * scale[:, None]. Zero rows quantize to zeros with scale 0."""

@@ -150,6 +150,52 @@ class TestFusedTopK:
                 d[b], ref[b, s[b]], rtol=1e-5, atol=1e-6
             )
 
+    @pytest.mark.parametrize("metric", [L2, COS, IP])
+    def test_knn_lane_topc_vs_numpy(self, rng, metric):
+        """Builder kNN scan: prefix masking, self-exclusion, true distances."""
+        from scintirete_tpu.ops.distance import distance_np
+        from scintirete_tpu.ops.pallas_scan import knn_lane_topc
+
+        B, D, N, c = 16, 24, 2 * LANES, 8
+        prefix = LANES + 100  # partial second tile
+        base = rng.standard_normal((N, D)).astype(np.float32)
+        if metric == COS:
+            base = base / np.linalg.norm(base, axis=1, keepdims=True)
+        q = base[:B]  # rows ARE prefix members -> self-exclusion matters
+        self_idx = np.arange(B, dtype=np.int32)
+        b_sq = np.sum(base * base, axis=1).astype(np.float32)
+
+        cd, ci = knn_lane_topc(
+            jnp.asarray(q), jnp.asarray(self_idx),
+            jnp.asarray(base, jnp.bfloat16), jnp.asarray(b_sq),
+            jnp.int32(prefix), metric=metric, c=c,
+            grid_tiles=2, interpret=True,
+        )
+        cd, ci = np.asarray(cd), np.asarray(ci)
+
+        qb = np.asarray(jnp.asarray(q, jnp.bfloat16), np.float32)
+        bb = np.asarray(jnp.asarray(base, jnp.bfloat16), np.float32)
+        ref = distance_np(qb, bb[:prefix], DistanceMetric(metric)).astype(
+            np.float32
+        )
+        ref[np.arange(B), self_idx] = np.inf
+        true_i = np.argsort(ref, axis=1, kind="stable")[:, :c]
+        # candidate pools: allow the documented 3-in-a-lane loss (none at
+        # this size) but require exact prefix/self discipline
+        assert np.all(ci < prefix) and not np.any(ci == self_idx[:, None])
+        hits = sum(
+            len(set(ci[b].tolist()) & set(true_i[b].tolist())) for b in range(B)
+        )
+        assert hits / (B * c) >= 0.95
+        # distances are the true finalized values for the chosen rows, up
+        # to bf16 input rounding (the kernel keeps EXACT f32 norms and only
+        # the dots are bf16, so it can differ from this all-bf16 reference
+        # by ~2x the bf16 ulp)
+        for b in range(B):
+            np.testing.assert_allclose(
+                cd[b], ref[b, ci[b]], rtol=1e-2, atol=1e-3
+            )
+
     def test_deleted_never_returned(self, rng):
         B, D, N = 8, 16, LANES
         base = rng.standard_normal((N, D)).astype(np.float32)
