@@ -36,6 +36,10 @@ from scintirete_tpu.errors import (
 from scintirete_tpu.types import DistanceMetric, HNSWParams, SearchParams
 
 _MIN_CAP = 256
+# capacity at/above which the fused Pallas lane scan (and its int8 first
+# pass) beats the XLA two-pass bf16 scan on TPU (measured crossover between
+# 100k and 1M on one v5e)
+_FUSED_MIN_CAP = 1 << 18
 
 
 def _quant8(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -271,8 +275,18 @@ class FlatIndex:
         # full-corpus first pass and rerank candidates against the f32
         # matrix — bf16 MXU rate with f32-exact returned distances. bf16
         # collections already scan at the fast rate; no second copy needed.
+        import jax
+
         two_pass = self.fast_scan and dtype == jnp.float32
         cosine = self.metric == DistanceMetric.COSINE
+        # int8 only where the fused kernel will consume it (large corpora
+        # on TPU); below the crossover the XLA two-pass bf16 scan is
+        # faster, and it cannot rank from an int8 copy
+        use_int8 = (
+            self.scan_dtype == "int8"
+            and self.cap >= _FUSED_MIN_CAP
+            and jax.default_backend() == "tpu"
+        )
 
         def scan_form(v: np.ndarray) -> np.ndarray:
             # the fused lane scan ranks cosine by -dot over pre-normalized
@@ -298,7 +312,7 @@ class FlatIndex:
             }
             if two_pass:
                 sf = scan_form(vecs)
-                if self.scan_dtype == "int8":
+                if use_int8:
                     q8, sc = _quant8(sf)
                     self._dev["scan"] = jnp.asarray(q8)
                     self._dev["scan_scale"] = jnp.asarray(sc)
@@ -320,7 +334,7 @@ class FlatIndex:
             )
             if two_pass and "scan" in self._dev:
                 sf = scan_form(self.vectors[rows])
-                if self.scan_dtype == "int8":
+                if self._dev["scan"].dtype == jnp.int8:
                     q8, sc = _quant8(sf)
                     self._dev["scan"] = DeviceGraph._scatter_into(
                         self._dev["scan"], rows, q8
@@ -377,6 +391,7 @@ class FlatIndex:
             "scan" in a
             and jax.default_backend() == "tpu"
             and self.cap % LANES == 0
+            and self.cap >= _FUSED_MIN_CAP
         )
         # an int8 scan copy is only usable by the fused kernel; elsewhere
         # fall back to the plain f32 scan
