@@ -792,7 +792,9 @@ class DeviceIndex:
         for start in range(0, B, self.max_batch):
             chunk = queries[start : start + self.max_batch]
             n = chunk.shape[0]
-            padded = 1 << (n - 1).bit_length()  # next pow2
+            # next pow2, >= 8: one f32 sublane — the Pallas pivot scan
+            # rejects query blocks smaller than a sublane on real TPUs
+            padded = max(1 << (n - 1).bit_length(), 8)
             if padded > n:
                 chunk = np.concatenate(
                     [chunk, np.zeros((padded - n, chunk.shape[1]), np.float32)]

@@ -308,7 +308,6 @@ class FlatIndex:
                     np.sum(vecs.astype(np.float32) ** 2, axis=1), jnp.float32
                 ),
                 "valid": jnp.asarray(valid),
-                "invalid_f": jnp.asarray((~valid).astype(np.float32)),
             }
             if two_pass:
                 sf = scan_form(vecs)
@@ -360,9 +359,6 @@ class FlatIndex:
             self._dev["valid"] = DeviceGraph._scatter_into(
                 self._dev["valid"], rows, ok
             )
-            self._dev["invalid_f"] = DeviceGraph._scatter_into(
-                self._dev["invalid_f"], rows, (~ok).astype(np.float32)
-            )
         self._dev_version = self._version
 
     def _device_search(self, queries, k):
@@ -392,6 +388,10 @@ class FlatIndex:
             and jax.default_backend() == "tpu"
             and self.cap % LANES == 0
             and self.cap >= _FUSED_MIN_CAP
+            # the lane scan yields at most 2*LANES candidates and loses
+            # ~C(k,3)/LANES^2 of a large top-k to 3-in-a-lane collisions;
+            # big-k requests take the exact XLA scan instead
+            and k <= 128
         )
         # an int8 scan copy is only usable by the fused kernel; elsewhere
         # fall back to the plain f32 scan
@@ -409,7 +409,7 @@ class FlatIndex:
                     jnp.asarray(chunk, jnp.float32),
                     a["scan"],
                     a["vectors"],
-                    a["invalid_f"],
+                    a["valid"],
                     int(self.metric),
                     k,
                     a.get("scan_sq", a["sq_norms"]),

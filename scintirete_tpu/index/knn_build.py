@@ -277,8 +277,12 @@ def _drain_flight(
         row = 0
         for qs, qe, ci, _ in group:
             n = ci.shape[0]
-            out_i[qs:qe] = i_host[row : row + (qe - qs)]
-            out_d[qs:qe] = d_host[row : row + (qe - qs)]
+            # results may be NARROWER than the output (selection width is
+            # capped by the candidate pool, e.g. max_deg > KNN_CANDIDATES
+            # for large M); missing columns keep their -1/inf fill
+            w = min(i_host.shape[1], out_i.shape[1])
+            out_i[qs:qe, :w] = i_host[row : row + (qe - qs), :w]
+            out_d[qs:qe, :w] = d_host[row : row + (qe - qs), :w]
             row += n
 
 
@@ -387,7 +391,7 @@ def _scan_rounds(
     tile = min(_TILE, npad)
     # fused Pallas scan (scores stay in VMEM — the XLA path's [Bq, tile]
     # score blocks in HBM were ~90% of round-2's 1M build time) on real
-    # TPUs; grid sizes walk a pow-4 ladder to bound compile variants
+    # TPUs; grid sizes walk a pow-16 ladder to bound compile variants
     use_fused = (
         jax.default_backend() == "tpu"
         and npad % LANES == 0

@@ -113,7 +113,7 @@ def flat_topk_fused(
     queries: jax.Array,  # [B, D] f32
     scan_base: jax.Array,  # [N, D] bf16 or int8, pre-normalized for cosine
     exact_base: jax.Array,  # [N, D] f32 — rerank source
-    invalid: jax.Array,  # [N] f32 (1.0 = deleted/empty)
+    valid: jax.Array,  # [N] bool — False for deleted/empty slots
     metric: int,
     k: int,
     base_sq_norms: jax.Array,  # [N] f32 (of the SCAN-form f32 rows)
@@ -135,6 +135,7 @@ def flat_topk_fused(
 
     B, D = queries.shape
     q32 = queries.astype(jnp.float32)
+    invalid = 1.0 - valid.astype(jnp.float32)  # kernels mask on 1.0
     if metric == int(DistanceMetric.COSINE):
         qn = jnp.sqrt(jnp.sum(q32 * q32, axis=1, keepdims=True))
         q_scan = jnp.where(qn > 1e-30, q32 / jnp.maximum(qn, 1e-30), 0.0)

@@ -44,6 +44,29 @@ LANES = 512  # lane count = base rows per grid step; [B, LANES] stays in VMEM
 _MAX_B = 512  # per-call query rows; callers split larger batches
 
 
+def _init_lane_outs(d1_ref, i1_ref, d2_ref, i2_ref):
+    """Grid-step-0 initialization of the running lane state."""
+    d1_ref[:] = jnp.full_like(d1_ref, jnp.inf)
+    i1_ref[:] = jnp.full_like(i1_ref, -1)
+    d2_ref[:] = jnp.full_like(d2_ref, jnp.inf)
+    i2_ref[:] = jnp.full_like(i2_ref, -1)
+
+
+def _fold_best_two(s, si, d1_ref, i1_ref, d2_ref, i2_ref):
+    """Fold a [B, LANES] score block into the per-lane (best, second-best)
+    running minima. The displaced best becomes a second-best candidate, so
+    two items per lane survive any number of folds."""
+    b1_d, b1_i = d1_ref[:], i1_ref[:]
+    promoted = s < b1_d
+    mid_d = jnp.where(promoted, b1_d, s)
+    mid_i = jnp.where(promoted, b1_i, si)
+    d1_ref[:] = jnp.where(promoted, s, b1_d)
+    i1_ref[:] = jnp.where(promoted, si, b1_i)
+    second = mid_d < d2_ref[:]
+    d2_ref[:] = jnp.where(second, mid_d, d2_ref[:])
+    i2_ref[:] = jnp.where(second, mid_i, i2_ref[:])
+
+
 def _lane_scan_kernel(
     q_ref,  # [B, D] bf16 (VMEM, resident)
     base_ref,  # [LANES, D] bf16 (VMEM, per grid step)
@@ -60,10 +83,7 @@ def _lane_scan_kernel(
 
     @pl.when(step == 0)
     def _init():
-        d1_ref[:] = jnp.full_like(d1_ref, jnp.inf)
-        i1_ref[:] = jnp.full_like(i1_ref, -1)
-        d2_ref[:] = jnp.full_like(d2_ref, jnp.inf)
-        i2_ref[:] = jnp.full_like(i2_ref, -1)
+        _init_lane_outs(d1_ref, i1_ref, d2_ref, i2_ref)
 
     dots = jax.lax.dot_general(
         q_ref[:],
@@ -78,15 +98,7 @@ def _lane_scan_kernel(
     s = jnp.where(inv_ref[:] > 0.5, jnp.inf, s)
     si = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + step * s.shape[1]
 
-    b1_d, b1_i = d1_ref[:], i1_ref[:]
-    promoted = s < b1_d
-    mid_d = jnp.where(promoted, b1_d, s)
-    mid_i = jnp.where(promoted, b1_i, si)
-    d1_ref[:] = jnp.where(promoted, s, b1_d)
-    i1_ref[:] = jnp.where(promoted, si, b1_i)
-    second = mid_d < d2_ref[:]
-    d2_ref[:] = jnp.where(second, mid_d, d2_ref[:])
-    i2_ref[:] = jnp.where(second, mid_i, i2_ref[:])
+    _fold_best_two(s, si, d1_ref, i1_ref, d2_ref, i2_ref)
 
 
 def _lane_scan_kernel_int8(
@@ -104,10 +116,7 @@ def _lane_scan_kernel_int8(
 
     @pl.when(step == 0)
     def _init():
-        d1_ref[:] = jnp.full_like(d1_ref, jnp.inf)
-        i1_ref[:] = jnp.full_like(i1_ref, -1)
-        d2_ref[:] = jnp.full_like(d2_ref, jnp.inf)
-        i2_ref[:] = jnp.full_like(i2_ref, -1)
+        _init_lane_outs(d1_ref, i1_ref, d2_ref, i2_ref)
 
     dots = jax.lax.dot_general(
         q_ref[:],
@@ -123,15 +132,7 @@ def _lane_scan_kernel_int8(
     s = jnp.where(inv_ref[:] > 0.5, jnp.inf, s)
     si = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + step * s.shape[1]
 
-    b1_d, b1_i = d1_ref[:], i1_ref[:]
-    promoted = s < b1_d
-    mid_d = jnp.where(promoted, b1_d, s)
-    mid_i = jnp.where(promoted, b1_i, si)
-    d1_ref[:] = jnp.where(promoted, s, b1_d)
-    i1_ref[:] = jnp.where(promoted, si, b1_i)
-    second = mid_d < d2_ref[:]
-    d2_ref[:] = jnp.where(second, mid_d, d2_ref[:])
-    i2_ref[:] = jnp.where(second, mid_i, i2_ref[:])
+    _fold_best_two(s, si, d1_ref, i1_ref, d2_ref, i2_ref)
 
 
 def _knn_lane_kernel(
@@ -148,10 +149,7 @@ def _knn_lane_kernel(
 
     @pl.when(step == 0)
     def _init():
-        d1_ref[:] = jnp.full_like(d1_ref, jnp.inf)
-        i1_ref[:] = jnp.full_like(i1_ref, -1)
-        d2_ref[:] = jnp.full_like(d2_ref, jnp.inf)
-        i2_ref[:] = jnp.full_like(i2_ref, -1)
+        _init_lane_outs(d1_ref, i1_ref, d2_ref, i2_ref)
 
     dots = jax.lax.dot_general(
         q_ref[:],
@@ -167,15 +165,7 @@ def _knn_lane_kernel(
     bad = (si >= nvalid_ref[0, 0]) | (si == self_ref[:])
     s = jnp.where(bad, jnp.inf, s)
 
-    b1_d, b1_i = d1_ref[:], i1_ref[:]
-    promoted = s < b1_d
-    mid_d = jnp.where(promoted, b1_d, s)
-    mid_i = jnp.where(promoted, b1_i, si)
-    d1_ref[:] = jnp.where(promoted, s, b1_d)
-    i1_ref[:] = jnp.where(promoted, si, b1_i)
-    second = mid_d < d2_ref[:]
-    d2_ref[:] = jnp.where(second, mid_d, d2_ref[:])
-    i2_ref[:] = jnp.where(second, mid_i, i2_ref[:])
+    _fold_best_two(s, si, d1_ref, i1_ref, d2_ref, i2_ref)
 
 
 @functools.partial(

@@ -94,28 +94,40 @@ def main():
     client.call("Search", warm)
 
     latencies: list[float] = []
+    errors: list[str] = []
     lat_mu = threading.Lock()
     barrier = threading.Barrier(N_CLIENTS + 1)
 
     def worker(wid: int):
-        c = GrpcClient(addr)
-        qs = queries[wid * QUERIES_PER_CLIENT : (wid + 1) * QUERIES_PER_CLIENT]
-        reqs = [
-            pb.SearchRequest(
-                auth=auth, db_name="db", collection_name="col",
-                query_vector=q.tolist(), top_k=TOP_K,
-            )
-            for q in qs
-        ]
-        barrier.wait()
-        mine = []
-        for req in reqs:
-            t0 = time.perf_counter()
-            resp = c.call("Search", req)
-            mine.append(time.perf_counter() - t0)
-            assert len(resp.results) == TOP_K
-        with lat_mu:
-            latencies.extend(mine)
+        try:
+            c = GrpcClient(addr)
+            qs = queries[
+                wid * QUERIES_PER_CLIENT : (wid + 1) * QUERIES_PER_CLIENT
+            ]
+            reqs = [
+                pb.SearchRequest(
+                    auth=auth, db_name="db", collection_name="col",
+                    query_vector=q.tolist(), top_k=TOP_K,
+                )
+                for q in qs
+            ]
+            barrier.wait()
+            mine = []
+            for req in reqs:
+                t0 = time.perf_counter()
+                resp = c.call("Search", req)
+                mine.append(time.perf_counter() - t0)
+                if len(resp.results) != TOP_K:
+                    raise RuntimeError(
+                        f"got {len(resp.results)} results, want {TOP_K}"
+                    )
+            with lat_mu:
+                latencies.extend(mine)
+        except Exception as exc:  # a dead worker must fail the benchmark
+            with lat_mu:
+                errors.append(f"worker {wid}: {exc!r}")
+            barrier.abort()
+            raise
 
     threads = [
         threading.Thread(target=worker, args=(i,), daemon=True)
@@ -130,6 +142,11 @@ def main():
     wall = time.time() - t0
 
     total = N_CLIENTS * QUERIES_PER_CLIENT
+    if errors or len(latencies) != total:
+        log(f"FAILED: {len(latencies)}/{total} queries ok; errors: {errors[:5]}")
+        server.stop()
+        service.stop()
+        sys.exit(1)
     lat = np.sort(np.asarray(latencies))
     out = {
         "metric": "serving_grpc_search_qps",

@@ -207,3 +207,21 @@ def test_bf16_scan_recall(rng, monkeypatch):
         hits += len(got & set(want[i].tolist()))
     recall = hits / (128 * 10)
     assert recall >= 0.92, f"bf16-built graph recall {recall:.3f}"
+
+
+def test_large_m_exceeds_candidate_pool(rng):
+    """m0 = 2M > KNN_CANDIDATES(+sparse): selection returns fewer columns
+    than max_deg and the drain must leave the tail -1-filled (regression:
+    round-2 packed-fetch conversion broadcast-errored here)."""
+    n = 2200
+    base = clustered(rng, n)
+    idx = HNSWIndex(
+        dim=base.shape[1],
+        params=HNSWParams(m=64, ef_construction=80, ef_search=50, seed=3),
+        metric=DistanceMetric.COSINE,
+        use_device=True,
+    )
+    idx.bulk_insert(list(range(1, n + 1)), base)
+    res = idx.search_batch(base[:16], SearchParams(top_k=5))
+    hits = sum(1 for i, r in enumerate(res) if any(x[0] == i + 1 for x in r))
+    assert hits >= 15

@@ -98,7 +98,7 @@ class TestFusedTopK:
 
         d, s = flat_topk_fused(
             jnp.asarray(q), jnp.asarray(scan, jnp.bfloat16),
-            jnp.asarray(base), jnp.asarray(invalid), metric, k,
+            jnp.asarray(base), jnp.asarray(invalid < 0.5), metric, k,
             jnp.asarray(scan_sq), interpret=True,
         )
         d, s = np.asarray(d), np.asarray(s)
@@ -135,7 +135,7 @@ class TestFusedTopK:
 
         d, s = flat_topk_fused(
             jnp.asarray(q), jnp.asarray(q8), jnp.asarray(base),
-            jnp.asarray(invalid), metric, k, jnp.asarray(scan_sq),
+            jnp.asarray(invalid < 0.5), metric, k, jnp.asarray(scan_sq),
             base_scale=jnp.asarray(sc), interpret=True,
         )
         d, s = np.asarray(d), np.asarray(s)
@@ -204,7 +204,7 @@ class TestFusedTopK:
         invalid[0] = 1.0  # query 0's nearest row is deleted
         d, s = flat_topk_fused(
             jnp.asarray(q), jnp.asarray(base, jnp.bfloat16),
-            jnp.asarray(base), jnp.asarray(invalid), L2, 5,
+            jnp.asarray(base), jnp.asarray(invalid < 0.5), L2, 5,
             jnp.asarray(np.sum(base * base, axis=1)), interpret=True,
         )
         assert not np.any(np.asarray(s) == 0)
