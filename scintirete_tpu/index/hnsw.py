@@ -43,6 +43,13 @@ class GraphStats:
     memory_bytes: int
 
 
+# an append this large (and at least 4x the existing collection) is
+# rebuilt as a fresh exact-kNN graph of the union instead of chunked
+# insertion — faster on TPU and a better graph. Smaller appends keep the
+# chunked path, whose vectors become searchable chunk by chunk.
+REBUILD_APPEND_MIN = 16384
+
+
 class HNSWIndex:
     """Thread-safe HNSW index keyed by uint64 vector IDs."""
 
@@ -172,6 +179,34 @@ class HNSWIndex:
                     self._device = None  # fresh mirror -> full upload
                     for vid, slot in zip(ids, slots):
                         self._register_slot(int(vid), int(slot))
+            elif (
+                self.use_device
+                and self.store.live == self.store.count  # no tombstones
+                and len(vectors)
+                >= max(4 * self.store.count, REBUILD_APPEND_MIN)
+            ):
+                # append at least doubles the collection: rebuilding the
+                # UNION with the kNN constructor beats chunked insertion
+                # (measured ~5-10x) and yields the better exact-kNN graph;
+                # assembled off-lock, published with one atomic swap
+                n_old = self.store.count
+                old_ids = self.slot_to_id[:n_old].astype(np.uint64)
+                all_vecs = np.concatenate(
+                    [self.store.vectors[:n_old], vectors]
+                )
+                tmp = GraphStore(
+                    self.store.dim, self.store.params, self.store.metric
+                )
+                slots = knn_build.build(tmp, all_vecs)
+                all_ids = [int(v) for v in old_ids] + [int(v) for v in ids]
+                new_map = dict(zip(all_ids, (int(s) for s in slots)))
+                new_rev = np.zeros(tmp.cap, np.uint64)
+                new_rev[np.asarray(slots)] = all_ids
+                with self._rw.write():
+                    self.store = tmp
+                    self._device = None
+                    self.id_to_slot = new_map
+                    self.slot_to_id = new_rev
             else:
                 device = self._get_device() if self.use_device else None
                 id_iter = iter(ids)

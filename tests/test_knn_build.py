@@ -225,3 +225,38 @@ def test_large_m_exceeds_candidate_pool(rng):
     res = idx.search_batch(base[:16], SearchParams(top_k=5))
     hits = sum(1 for i, r in enumerate(res) if any(x[0] == i + 1 for x in r))
     assert hits >= 15
+
+
+def test_rebuild_append_path(rng, monkeypatch):
+    """A large append (>= 4x existing and >= REBUILD_APPEND_MIN) rebuilds
+    the union via the kNN constructor (atomic swap); smaller appends keep
+    the chunked path."""
+    import scintirete_tpu.index.hnsw as hnsw_mod
+
+    monkeypatch.setattr(hnsw_mod, "REBUILD_APPEND_MIN", 2048)
+    n1, n2 = 700, 3000
+    base = clustered(rng, n1 + n2)
+    idx = HNSWIndex(
+        dim=base.shape[1],
+        params=HNSWParams(m=8, ef_construction=60, ef_search=40, seed=5),
+        metric=DistanceMetric.COSINE,
+        use_device=True,
+    )
+    idx.bulk_insert(list(range(1, n1 + 1)), base[:n1])
+    idx.bulk_insert(list(range(n1 + 1, n1 + n2 + 1)), base[n1:])
+    assert idx.size() == n1 + n2
+    # every id resolves to its own vector and is findable
+    res = idx.search_batch(
+        base[n1 - 8 : n1 + 8], SearchParams(top_k=3)
+    )
+    hits = sum(
+        1 for i, r in enumerate(res) if any(x[0] == n1 - 8 + i + 1 for x in r)
+    )
+    assert hits >= 15
+    np.testing.assert_allclose(idx.get_vector(n1 + 1), base[n1], rtol=1e-6)
+
+    # with a tombstone present the rebuild path is skipped (chunked append)
+    idx.delete(1)
+    idx.bulk_insert([n1 + n2 + 1], base[:1] * 0.5)
+    assert idx.size() == n1 + n2  # -1 tombstone, +1 insert
+    assert not idx.contains(1) and idx.contains(n1 + n2 + 1)
