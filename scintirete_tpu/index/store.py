@@ -31,7 +31,13 @@ _MIN_LAYER_CAP = 64
 
 
 def _grow_to(arr: np.ndarray, cap: int, fill) -> np.ndarray:
-    new = np.full((cap,) + arr.shape[1:], fill, dtype=arr.dtype)
+    # np.zeros is calloc-backed (~free); np.full memsets explicitly, which
+    # costs seconds per GB on this host — avoid it for zero fills
+    shape = (cap,) + arr.shape[1:]
+    if fill == 0 or fill is False:
+        new = np.zeros(shape, dtype=arr.dtype)
+    else:
+        new = np.full(shape, fill, dtype=arr.dtype)
     new[: arr.shape[0]] = arr
     return new
 
