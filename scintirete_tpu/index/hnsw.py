@@ -207,6 +207,28 @@ class HNSWIndex:
                     self._device = None
                     self.id_to_slot = new_map
                     self.slot_to_id = new_rev
+            elif (
+                self.use_device
+                and self.store.count >= knn_build.MIN_BUILD_SIZE
+                and (
+                    len(vectors) >= knn_build.APPEND_MIN
+                    # on large graphs even small-batch appends go batched:
+                    # the chunked path's per-vector link application
+                    # degrades sharply at ~1M (measured self-recall 0.18
+                    # vs 0.95+ batched), and correctness beats the clone
+                    # overhead
+                    or (self.store.count >= 200_000 and len(vectors) >= 64)
+                )
+            ):
+                # mid-size append: batched kNN-append into a CLONE off-lock
+                # (readers keep the old store), published with one swap
+                tmp = self.store.clone()
+                slots = knn_build.append_batch(tmp, vectors)
+                with self._rw.write():
+                    self.store = tmp
+                    self._device = None  # clone -> full upload next sync
+                    for vid, slot in zip(ids, slots):
+                        self._register_slot(int(vid), int(slot))
             else:
                 device = self._get_device() if self.use_device else None
                 id_iter = iter(ids)

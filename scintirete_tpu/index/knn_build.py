@@ -238,10 +238,27 @@ def _kernels():
         sd, si = jax.lax.sort((sd, si), num_keys=1)
         return jnp.where(jnp.isinf(sd), -1, si), sd
 
+    @functools.partial(jax.jit, static_argnames=("metric",))
+    def nbr_dists(base, base_sq, t_rows, nbr_i, metric):
+        """Finalized distances d(base[t_rows[t]], base[nbr_i[t, w]]);
+        inf where nbr_i < 0. Shapes: t_rows [T], nbr_i [T, W]."""
+        from scintirete_tpu.ops.distance import dist_from_dots
+
+        tv = base[t_rows].astype(jnp.float32)  # [T, D]
+        nv = base[jnp.maximum(nbr_i, 0)].astype(jnp.float32)  # [T, W, D]
+        dots = jnp.einsum(
+            "td,twd->tw", tv, nv, preferred_element_type=jnp.float32
+        )
+        t_sq = base_sq[t_rows][:, None]
+        n_sq = base_sq[jnp.maximum(nbr_i, 0)]
+        d = dist_from_dots(dots, t_sq, n_sq, metric)
+        return jnp.where(nbr_i < 0, INF, d)
+
     return {
         "knn_block": knn_block,
         "select_block": select_block,
         "merge_dedupe": merge_dedupe,
+        "nbr_dists": nbr_dists,
     }
 
 
@@ -734,3 +751,320 @@ def build(store: GraphStore, vectors: np.ndarray) -> list[int]:
         )
         _prof.clear()
     return [int(s) for s in slots]
+
+
+# appends at least this large take the batched path (below it, per-vector
+# dispatch overhead exceeds the batched phases' setup)
+APPEND_MIN = 2048
+
+
+def append_batch(store: GraphStore, vectors: np.ndarray) -> list[int]:
+    """Batched append onto a NON-empty store.
+
+    Same phase structure as `build`, restricted to the new rows: exact-scan
+    candidates for each new node (against live members of each of its
+    layers, including the batch itself), reference-semantics forward
+    selection, then batched reverse-edge pruning of every affected target
+    (keep-nearest, or heuristic re-selection when enabled — the batched
+    equivalent of host_algo._add_link / pruneConnections hnsw.go:586-614).
+    New vectors become searchable together when the caller's write section
+    publishes them.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from scintirete_tpu.ops.pallas_scan import _MAX_B, LANES, knn_lane_topc
+
+    K = _kernels()
+    vectors = np.asarray(vectors, np.float32)
+    n_new = len(vectors)
+    metric = int(store.metric)
+    with _phase("append_alloc"):
+        levels = store.draw_levels(n_new)
+        store.reserve(levels)
+        slots = store.alloc_slots(vectors, levels.astype(np.int32))
+    new_slots = np.asarray(slots, np.int64)
+    count = store.count
+
+    # scan-form base over ALL slots (slot-indexed, so scan hits ARE slots)
+    base = store.vectors[:count]
+    if metric == 2:  # cosine: scale-invariant; fused kernel ranks by -dot
+        norms = np.linalg.norm(base, axis=1, keepdims=True)
+        base = np.where(norms > 1e-30, base / np.maximum(norms, 1e-30), 0.0)
+    base = base.astype(np.float32)
+
+    npad = _pad_pow4(count, minimum=max(_ROUND0 * 2, 2048))
+    bpad = np.zeros((npad, store.dim), np.float32)
+    bpad[:count] = base
+    dtype = _scan_dtype()
+    with _phase("append_upload"):
+        base_j = jnp.asarray(bpad.astype(dtype))
+        base_sq = jnp.asarray(np.sum(bpad * bpad, axis=1))
+    use_fused = (
+        jax.default_backend() == "tpu"
+        and npad % LANES == 0
+        and dtype == jnp.bfloat16
+    )
+    max_tiles = npad // LANES
+
+    def scan_new(q_slots: np.ndarray, c: int) -> tuple[np.ndarray, np.ndarray]:
+        """Exact top-c LAYER-0 candidates of the given new slots (self
+        excluded, deleted filtered on host)."""
+        nq = len(q_slots)
+        ci = np.full((nq, c), -1, np.int32)
+        cd = np.full((nq, c), np.inf, np.float32)
+        in_flight = []
+        g = 1
+        while g * LANES < count and g < max_tiles:
+            g *= 16
+        g = min(g, max_tiles)
+        step = _MAX_B if use_fused else _QBLOCK
+        for qs in range(0, nq, step):
+            qe = min(qs + step, nq)
+            qb = np.zeros((step, store.dim), np.float32)
+            qb[: qe - qs] = base[q_slots[qs:qe]]
+            si = np.full(step, -1, np.int32)
+            si[: qe - qs] = q_slots[qs:qe]
+            q_j = jnp.asarray(qb.astype(dtype))
+            si_j = jnp.asarray(si)
+            if use_fused:
+                d_, i_ = knn_lane_topc(
+                    q_j, si_j, base_j, base_sq, jnp.int32(count),
+                    metric=metric, c=c, grid_tiles=g,
+                )
+            else:
+                d_, i_ = K["knn_block"](
+                    q_j, si_j, base_j, base_sq, jnp.int32(count),
+                    metric=metric, c=c, tile=min(_TILE, npad),
+                )
+            in_flight.append((qs, qe, i_, d_))
+        _drain_flight(in_flight, ci, cd)
+        # drop tombstoned candidates (pool shrinks; -1 tail)
+        dead = (ci >= 0) & store.deleted[np.maximum(ci, 0)]
+        cd = np.where(dead, np.inf, cd)
+        ci = np.where(dead, -1, ci)
+        order = np.argsort(cd, axis=1, kind="stable")
+        return (
+            np.take_along_axis(ci, order, axis=1),
+            np.take_along_axis(cd, order, axis=1),
+        )
+
+    def select_new(ci, cd, max_deg, heuristic):
+        """Forward selection for new rows (slot-space candidates)."""
+        nq = len(ci)
+        out_i = np.full((nq, max_deg), -1, np.int32)
+        out_d = np.full((nq, max_deg), np.inf, np.float32)
+        in_flight = []
+        width = ci.shape[1]
+        for qs in range(0, nq, _QBLOCK):
+            qe = min(qs + _QBLOCK, nq)
+            cip = np.full((_QBLOCK, width), -1, np.int32)
+            cdp = np.full((_QBLOCK, width), np.inf, np.float32)
+            cip[: qe - qs] = ci[qs:qe]
+            cdp[: qe - qs] = cd[qs:qe]
+            si, sd = K["select_block"](
+                jnp.asarray(cip), jnp.asarray(cdp), base_j,
+                metric=metric, max_deg=max_deg, heuristic=heuristic,
+            )
+            in_flight.append((qs, qe, si[:, :max_deg], sd[:, :max_deg]))
+        _drain_flight(in_flight, out_i, out_d)
+        return out_i, out_d
+
+    def reprune_targets(t_slots, inc_i, inc_d, layer, max_deg, heuristic):
+        """Batched _add_link: for every target, re-select over (current
+        neighbors u incoming) and write back."""
+        table, row_of = store.adjacency(layer)
+        rows = t_slots if row_of is None else row_of[t_slots]
+        cur = table[rows]  # [T, max_deg] current adjacency (slot space)
+        tpad = _pad_pow2(len(t_slots), minimum=1024)
+
+        def padded(a, fill):
+            out = np.full((tpad,) + a.shape[1:], fill, a.dtype)
+            out[: len(a)] = a
+            return out
+
+        cur_d_dev = K["nbr_dists"](
+            base_j,  # gathered rows are cast to f32 inside the kernel
+            base_sq,
+            jnp.asarray(padded(t_slots.astype(np.int64), 0)),
+            jnp.asarray(padded(cur, -1)),
+            metric=metric,
+        )
+        mi, md = K["merge_dedupe"](
+            jnp.asarray(padded(cur, -1)),
+            cur_d_dev,
+            jnp.asarray(padded(inc_i, -1)),
+            jnp.asarray(padded(inc_d, np.float32(np.inf))),
+        )
+        si, sd = K["select_block"](
+            mi, md, base_j, metric=metric, max_deg=max_deg,
+            heuristic=heuristic,
+        )
+        si = np.asarray(si)[: len(t_slots), :max_deg]
+        table[rows] = si
+        store.mark_rows((layer, int(r)) for r in rows)
+
+    heuristic0 = bool(store.params.neighbor_heuristic)
+    max_new_level = int(levels.max(initial=0))
+
+    # ---- layer 0: all new nodes ----
+    with _phase("append_scan0"):
+        ci, cd = scan_new(new_slots, KNN_CANDIDATES)
+    with _phase("append_select0"):
+        fwd_i, fwd_d = select_new(ci, cd, store.m0, heuristic0)
+    store.neighbors0[new_slots] = fwd_i
+    store.mark_rows((0, int(s)) for s in new_slots)
+
+    with _phase("append_reverse0"):
+        # reverse edges: new -> target, capped at the nearest m0 per target
+        src = np.repeat(new_slots, fwd_i.shape[1])
+        dst = fwd_i.reshape(-1).astype(np.int64)
+        d = fwd_d.reshape(-1)
+        keep = dst >= 0
+        src, dst, d = src[keep], dst[keep], d[keep]
+        inc_i = np.full((count, store.m0), -1, np.int32)
+        inc_d = np.full((count, store.m0), np.inf, np.float32)
+        if len(dst):
+            bits = d.astype(np.float32).view(np.uint32)
+            mono = np.where(
+                bits & 0x80000000, ~bits, bits | np.uint32(0x80000000)
+            ).astype(np.uint64)
+            key = (dst.astype(np.uint64) << np.uint64(32)) | mono
+            order = np.argsort(key)
+            dst, src, d = dst[order], src[order], d[order]
+            iota = np.arange(len(dst))
+            new_grp = np.empty(len(dst), bool)
+            new_grp[0] = True
+            new_grp[1:] = dst[1:] != dst[:-1]
+            grp_start = np.maximum.accumulate(np.where(new_grp, iota, 0))
+            pos = iota - grp_start
+            keep = pos < store.m0
+            inc_i[dst[keep], pos[keep]] = src[keep]
+            inc_d[dst[keep], pos[keep]] = d[keep]
+        affected = np.flatnonzero(inc_i[:, 0] >= 0)
+        affected = affected[~store.deleted[affected]]
+        for ts in range(0, len(affected), 8192):
+            te = min(ts + 8192, len(affected))
+            reprune_targets(
+                affected[ts:te], inc_i[affected[ts:te]],
+                inc_d[affected[ts:te]], 0, store.m0, heuristic0,
+            )
+
+    # ---- upper layers: member-subset scans (host/XLA — member sets are
+    # geometrically small) ----
+    for l in range(1, max_new_level + 1):
+        ls = store.layers[l - 1]
+        members = ls.node_slot[: ls.count].astype(np.int64)
+        new_l = new_slots[levels >= l]
+        if len(members) <= 1 or len(new_l) == 0:
+            continue
+        with _phase(f"append_layer{l}"):
+            live_m = members[~store.deleted[members]]
+            nm_l = len(live_m)
+            row_index = np.full(count, -1, np.int32)
+            row_index[live_m] = np.arange(nm_l, dtype=np.int32)
+            c = min(KNN_CANDIDATES, max(nm_l - 1, 1))
+            if nm_l > 2048:
+                # device scan over the member matrix (host numpy pairwise
+                # at 50k+ members costs minutes on a 1-core box)
+                mpad = _pad_pow4(nm_l, minimum=2048)
+                mbase = np.zeros((mpad, store.dim), np.float32)
+                mbase[:nm_l] = base[live_m]
+                mb_j = jnp.asarray(mbase.astype(dtype))
+                mb_sq = jnp.asarray(np.sum(mbase * mbase, axis=1))
+                m_tiles = mpad // LANES
+                gm = 1
+                while gm * LANES < nm_l and gm < m_tiles:
+                    gm *= 16
+                gm = min(gm, m_tiles)
+                nq = len(new_l)
+                ci_m = np.full((nq, c), -1, np.int32)
+                cd = np.full((nq, c), np.inf, np.float32)
+                in_flight = []
+                stepm = _MAX_B if use_fused else _QBLOCK
+                for qs in range(0, nq, stepm):
+                    qe = min(qs + stepm, nq)
+                    qb = np.zeros((stepm, store.dim), np.float32)
+                    qb[: qe - qs] = base[new_l[qs:qe]]
+                    si = np.full(stepm, -1, np.int32)
+                    si[: qe - qs] = row_index[new_l[qs:qe]]
+                    q_j = jnp.asarray(qb.astype(dtype))
+                    si_j = jnp.asarray(si)
+                    if use_fused:
+                        d_, i_ = knn_lane_topc(
+                            q_j, si_j, mb_j, mb_sq, jnp.int32(nm_l),
+                            metric=metric, c=c, grid_tiles=gm,
+                        )
+                    else:
+                        d_, i_ = K["knn_block"](
+                            q_j, si_j, mb_j, mb_sq, jnp.int32(nm_l),
+                            metric=metric, c=c, tile=min(_TILE, mpad),
+                        )
+                    in_flight.append((qs, qe, i_, d_))
+                _drain_flight(in_flight, ci_m, cd)
+                cand_d = cd
+                cand_i = np.where(
+                    ci_m >= 0, live_m[np.maximum(ci_m, 0)], -1
+                ).astype(np.int32)
+            else:
+                d = _np_pairwise(base[new_l], base[live_m], metric)
+                # self-exclusion: a new node is itself a member
+                for i, s in enumerate(new_l):
+                    j = row_index[int(s)]
+                    if j >= 0:
+                        d[i, j] = np.inf
+                order = np.argsort(d, axis=1, kind="stable")[:, :c]
+                cand_d = np.take_along_axis(d, order, axis=1)
+                cand_i = live_m[order].astype(np.int32)
+                cand_i = np.where(np.isinf(cand_d), -1, cand_i)
+            fwd_i, fwd_d = select_new(cand_i, cand_d, store.m, True)
+            rows = ls.row_of[new_l]
+            ls.nbrs[rows] = fwd_i
+            store.mark_rows((l, int(r)) for r in rows)
+            # reverse edges within the layer
+            src = np.repeat(new_l, fwd_i.shape[1])
+            dst = fwd_i.reshape(-1).astype(np.int64)
+            dd = fwd_d.reshape(-1)
+            keep = dst >= 0
+            src, dst, dd = src[keep], dst[keep], dd[keep]
+            if len(dst):
+                inc: dict[int, list] = {}
+                for s_, t_, d_ in zip(src, dst, dd):
+                    inc.setdefault(int(t_), []).append((float(d_), int(s_)))
+                t_slots = np.asarray(sorted(inc), np.int64)
+                t_slots = t_slots[~store.deleted[t_slots]]
+                ii = np.full((len(t_slots), store.m), -1, np.int32)
+                idd = np.full((len(t_slots), store.m), np.inf, np.float32)
+                for r_, t_ in enumerate(t_slots):
+                    for j, (d_, s_) in enumerate(
+                        sorted(inc[int(t_)])[: store.m]
+                    ):
+                        ii[r_, j] = s_
+                        idd[r_, j] = d_
+                reprune_targets(t_slots, ii, idd, l, store.m, True)
+
+    # entry point: a new top level promotes its (first) node
+    if max_new_level > store.max_layer:
+        top = new_slots[levels == max_new_level][0]
+        store.max_layer = max_new_level
+        store.entry_slot = int(top)
+    store.version += 1
+    if _PROFILE:
+        import sys
+
+        total = sum(_prof.values())
+        print(
+            "[append profile] "
+            + " ".join(f"{k}={v:.1f}s" for k, v in sorted(_prof.items()))
+            + f" | total={total:.1f}s",
+            file=sys.stderr,
+            flush=True,
+        )
+        _prof.clear()
+    return [int(s) for s in slots]
+
+
+def _np_pairwise(q: np.ndarray, b: np.ndarray, metric: int) -> np.ndarray:
+    from scintirete_tpu.ops.distance import distance_np
+
+    return distance_np(q, b, metric).astype(np.float32)

@@ -287,6 +287,29 @@ class GraphStore:
         self._mark("deleted", slot)
         self.version += 1
 
+    def clone(self) -> "GraphStore":
+        """Deep copy of all graph arrays (the RNG object is SHARED so the
+        level-draw sequence continues wherever the clone is used next).
+        Used by the batched append path: assemble into the clone off-lock
+        while readers keep searching the original, then publish with one
+        atomic swap."""
+        new = GraphStore.__new__(GraphStore)
+        new.__dict__.update(self.__dict__)
+        new.vectors = self.vectors.copy()
+        new.levels = self.levels.copy()
+        new.deleted = self.deleted.copy()
+        new.neighbors0 = self.neighbors0.copy()
+        new.layers = []
+        for ls in self.layers:
+            nl = LayerStore.__new__(LayerStore)
+            nl.__dict__.update(ls.__dict__)
+            nl.node_slot = ls.node_slot.copy()
+            nl.nbrs = ls.nbrs.copy()
+            nl.row_of = ls.row_of.copy()
+            new.layers.append(nl)
+        new._dirty = None  # fresh mirror after the swap
+        return new
+
     def max_degree(self, layer: int) -> int:
         return self.m0 if layer == 0 else self.m
 

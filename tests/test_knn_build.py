@@ -260,3 +260,62 @@ def test_rebuild_append_path(rng, monkeypatch):
     idx.bulk_insert([n1 + n2 + 1], base[:1] * 0.5)
     assert idx.size() == n1 + n2  # -1 tombstone, +1 insert
     assert not idx.contains(1) and idx.contains(n1 + n2 + 1)
+
+
+@pytest.mark.parametrize("heuristic", [False, True], ids=["simple", "heur"])
+@pytest.mark.parametrize(
+    "metric",
+    [DistanceMetric.L2, DistanceMetric.COSINE, DistanceMetric.INNER_PRODUCT],
+)
+def test_batched_append(rng, metric, heuristic):
+    """Mid-size appends take knn_build.append_batch: recall gates hold for
+    old AND new vectors, degree bounds hold, reverse edges exist, and the
+    original store is untouched until the swap."""
+    import scintirete_tpu.index.knn_build as kb
+
+    n1, n2 = 2500, 2200
+    base = clustered(rng, n1 + n2)
+    idx = HNSWIndex(
+        dim=base.shape[1],
+        params=HNSWParams(
+            m=8, ef_construction=60, ef_search=50, seed=7,
+            neighbor_heuristic=heuristic,
+        ),
+        metric=metric,
+        use_device=True,
+    )
+    idx.bulk_insert(list(range(1, n1 + 1)), base[:n1])
+    old_store = idx.store
+    idx.bulk_insert(list(range(n1 + 1, n1 + n2 + 1)), base[n1:])
+    assert idx.store is not old_store  # append_batch swapped a clone
+    assert old_store.count == n1  # original untouched
+    n = n1 + n2
+    assert idx.size() == n
+
+    # degree bounds + membership invariants
+    store = idx.store
+    assert np.all((store.neighbors0[:n] < n) )
+    deg0 = (store.neighbors0[:n] >= 0).sum(axis=1)
+    assert deg0.max() <= store.m0
+    for l, ls in enumerate(store.layers, start=1):
+        rows = ls.nbrs[: ls.count]
+        assert (rows >= 0).sum(axis=1).max(initial=0) <= store.m
+        valid = rows[rows >= 0]
+        assert np.all(ls.row_of[valid] >= 0)  # neighbors are layer members
+
+    # appended nodes have incoming edges (bidirectional linking happened)
+    incoming = np.isin(store.neighbors0[:n1], np.arange(n1, n)).any()
+    assert incoming
+
+    # recall gate over the whole collection (old + new)
+    queries = base[::37] + 0.05 * rng.standard_normal(
+        (len(base[::37]), base.shape[1])
+    ).astype(np.float32)
+    true_i = brute_topk(queries, base, metric, 10)
+    res = idx.search_batch(queries, SearchParams(top_k=10, ef_search=50))
+    hits = 0
+    for b in range(len(queries)):
+        want = {int(j) + 1 for j in true_i[b]}
+        hits += len(want & {r[0] for r in res[b]})
+    recall = hits / (len(queries) * 10)
+    assert recall >= 0.93, recall
