@@ -236,7 +236,18 @@ class Collection:
             live_ids = [vid for vid in old.id_to_slot if old.contains(vid)]
             new_index = self._new_index(self._dim)
             if live_ids:
-                mats = np.stack([old.get_vector(vid) for vid in live_ids])
+                # one fancy-indexed gather instead of a per-vector
+                # get_vector loop (lock + copy per call — minutes at 1M)
+                slots = np.fromiter(
+                    (old.id_to_slot[vid] for vid in live_ids),
+                    np.int64,
+                    len(live_ids),
+                )
+                mats = (
+                    old.store.vectors[slots]
+                    if hasattr(old, "store")
+                    else old.vectors[slots]
+                ).copy()
                 new_index.bulk_insert(live_ids, mats)
             with self._rw.write():
                 self._index = new_index
