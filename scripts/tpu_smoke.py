@@ -72,6 +72,14 @@ def main():
     res = col.search(base[7], SearchParams(top_k=3))
     check("delete excluded from results", all(r.id != ids[7] for r in res))
 
+    extra = rng.standard_normal((2500, dim)).astype(np.float32)
+    t0 = time.time()
+    ids2 = col.insert([(v, None) for v in extra])  # batched kNN append
+    res = col.search_batch(extra[:32], SearchParams(top_k=3))
+    hits = sum(1 for i, r in enumerate(res) if r and r[0].id == ids2[i])
+    check("batched append self-search", hits >= 30,
+          f"{hits}/32 in {time.time()-t0:.1f}s")
+
     # --- flat index on TPU: below/above the fused crossover ---
     from scintirete_tpu.index.flat import _FUSED_MIN_CAP, FlatIndex
 
