@@ -237,17 +237,24 @@ class Collection:
             new_index = self._new_index(self._dim)
             if live_ids:
                 # one fancy-indexed gather instead of a per-vector
-                # get_vector loop (lock + copy per call — minutes at 1M)
-                slots = np.fromiter(
-                    (old.id_to_slot[vid] for vid in live_ids),
-                    np.int64,
-                    len(live_ids),
+                # get_vector loop (lock + copy per call — minutes at 1M);
+                # indexes without flat arrays (sharded) keep the loop
+                arrays = getattr(
+                    getattr(old, "store", None), "vectors", None
                 )
-                mats = (
-                    old.store.vectors[slots]
-                    if hasattr(old, "store")
-                    else old.vectors[slots]
-                ).copy()
+                if arrays is None:
+                    arrays = getattr(old, "vectors", None)
+                if arrays is not None and hasattr(old, "id_to_slot"):
+                    slots = np.fromiter(
+                        (old.id_to_slot[vid] for vid in live_ids),
+                        np.int64,
+                        len(live_ids),
+                    )
+                    mats = arrays[slots].copy()
+                else:
+                    mats = np.stack(
+                        [old.get_vector(vid) for vid in live_ids]
+                    )
                 new_index.bulk_insert(live_ids, mats)
             with self._rw.write():
                 self._index = new_index
