@@ -34,6 +34,7 @@ from scintirete_tpu.errors import (
     dimension_mismatch,
 )
 from scintirete_tpu.types import DistanceMetric, HNSWParams, SearchParams
+from scintirete_tpu.utils.rwlock import RWLock
 
 _MIN_CAP = 256
 # capacity at/above which the fused Pallas lane scan (and its int8 first
@@ -114,7 +115,13 @@ class FlatIndex:
         self.id_to_slot: dict[int, int] = {}
         self.slot_to_id = np.zeros(self.cap, np.uint64)
 
-        self._lock = threading.RLock()
+        # readers share (reference: hnsw.go:292 RLock — FlatIndex is the
+        # index that wins benchmarks, so its readers must overlap too);
+        # writers serialize on _write_mu and take the write side only for
+        # the host-array mutation
+        self._rw = RWLock()
+        self._write_mu = threading.Lock()
+        self._sync_mu = threading.Lock()  # device-mirror sync (read path)
         # device mirror state
         self._dev: dict[str, Any] = {}
         self._dev_cap = -1
@@ -125,11 +132,11 @@ class FlatIndex:
     # ----- properties -----
 
     def size(self) -> int:
-        with self._lock:
+        with self._rw.read():
             return self.live
 
     def memory_bytes(self) -> int:
-        with self._lock:
+        with self._rw.read():
             return (
                 self.vectors.nbytes
                 + self.deleted.nbytes
@@ -138,11 +145,11 @@ class FlatIndex:
             )
 
     def set_ef_search(self, ef: int) -> None:  # interface parity; no beam
-        with self._lock:
+        with self._write_mu, self._rw.write():
             self.params = dataclasses.replace(self.params, ef_search=ef)
 
     def stats(self) -> FlatStats:
-        with self._lock:
+        with self._rw.read():
             return FlatStats(
                 nodes=self.live,
                 connections=0,
@@ -168,7 +175,7 @@ class FlatIndex:
         self.bulk_insert([vector_id], np.asarray(elements, np.float32)[None, :])
 
     def bulk_insert(self, ids: Sequence[int], vectors: np.ndarray) -> None:
-        with self._lock:
+        with self._write_mu, self._rw.write():
             for vid in ids:
                 if int(vid) in self.id_to_slot:
                     raise ScintireteError(
@@ -192,7 +199,7 @@ class FlatIndex:
             self._version += 1
 
     def delete(self, vector_id: int) -> bool:
-        with self._lock:
+        with self._write_mu, self._rw.write():
             slot = self.id_to_slot.get(vector_id)
             if slot is None:
                 raise ScintireteError(
@@ -208,16 +215,16 @@ class FlatIndex:
             return True
 
     def contains(self, vector_id: int) -> bool:
-        with self._lock:
+        with self._rw.read():
             slot = self.id_to_slot.get(vector_id)
             return slot is not None and not self.deleted[slot]
 
     def has_id(self, vector_id: int) -> bool:
-        with self._lock:
+        with self._rw.read():
             return vector_id in self.id_to_slot
 
     def get_vector(self, vector_id: int) -> np.ndarray:
-        with self._lock:
+        with self._rw.read():
             slot = self.id_to_slot.get(vector_id)
             if slot is None or self.deleted[slot]:
                 raise ScintireteError(
@@ -240,7 +247,7 @@ class FlatIndex:
         queries = np.asarray(queries, np.float32)
         if queries.ndim != 2 or queries.shape[1] != self.dim:
             raise dimension_mismatch(self.dim, int(queries.shape[-1]))
-        with self._lock:
+        with self._rw.read():
             if self.live == 0:
                 return [[] for _ in range(queries.shape[0])]
             k = min(params.top_k, self.live)
@@ -379,8 +386,13 @@ class FlatIndex:
         )
         from scintirete_tpu.ops.pallas_scan import LANES
 
+        # readers overlap now: the lazy mirror sync mutates _dev/_dirty on
+        # the READ path, so the first reader after a mutation does the sync
+        # under _sync_mu while the rest re-check and proceed
         if self._dev_version != self._version:
-            self._sync()
+            with self._sync_mu:
+                if self._dev_version != self._version:
+                    self._sync()
         a = self._dev
         B = queries.shape[0]
         out_slots = np.empty((B, k), np.int64)
@@ -399,6 +411,32 @@ class FlatIndex:
             # big-k requests take the exact XLA scan instead
             and k <= 128
         )
+        if use_fused:
+            # the 2D-grid kernel covers any pow2 batch in ONE program:
+            # no sub-batch loop, one dispatch, one packed fetch — the
+            # round-2 path's per-call dispatch overhead over the tunnel
+            # was the dominant cost (~3% MFU)
+            padded = max(1 << (B - 1).bit_length(), 8)
+            chunk = queries
+            if padded > B:
+                chunk = np.concatenate(
+                    [queries, np.zeros((padded - B, self.dim), np.float32)]
+                )
+            d, s = flat_topk_fused(
+                jnp.asarray(chunk, jnp.float32),
+                a["scan"],
+                a["vectors"],
+                a["valid"],
+                int(self.metric),
+                k,
+                a.get("scan_sq", a["sq_norms"]),
+                width=max(4 * k, 64),
+                base_scale=a.get("scan_scale"),
+            )
+            d_host, s_host = _fetch_packed([d], [s])
+            out_dists[:] = d_host[:B]
+            out_slots[:] = s_host[:B]
+            return out_slots, out_dists
         # an int8 scan copy is only usable by the fused kernel; elsewhere
         # fall back to the plain f32 scan
         scan8 = "scan" in a and a["scan"].dtype == jnp.int8
@@ -410,19 +448,7 @@ class FlatIndex:
                 chunk = np.concatenate(
                     [chunk, np.zeros((padded - n, self.dim), np.float32)]
                 )
-            if use_fused:
-                d, s = flat_topk_fused(
-                    jnp.asarray(chunk, jnp.float32),
-                    a["scan"],
-                    a["vectors"],
-                    a["valid"],
-                    int(self.metric),
-                    k,
-                    a.get("scan_sq", a["sq_norms"]),
-                    width=max(4 * k, 64),
-                    base_scale=a.get("scan_scale"),
-                )
-            elif "scan" in a and not scan8:
+            if "scan" in a and not scan8:
                 d, s = flat_topk_rerank(
                     jnp.asarray(chunk, jnp.float32),
                     a["scan"],
@@ -460,7 +486,7 @@ class FlatIndex:
     # ----- state export/import (RDB restore without rebuild) -----
 
     def export_graph_state(self) -> dict[str, Any]:
-        with self._lock:
+        with self._rw.read():
             n = self.count
             return {
                 "kind": "flat",

@@ -395,11 +395,7 @@ def _scan_rounds(
     import jax
     import jax.numpy as jnp
 
-    from scintirete_tpu.ops.pallas_scan import (
-        _MAX_B,
-        LANES,
-        knn_lane_topc,
-    )
+    from scintirete_tpu.ops.pallas_scan import LANES, knn_lane_topc
 
     K = _kernels()
     nm, dim = member_vecs.shape
@@ -461,17 +457,13 @@ def _scan_rounds(
                 qe = min(qs + _QBLOCK, stop)
                 q_j, si_j = upload_block(qs, qe)
                 if use_fused:
-                    g = grid_for(prefix)
-                    for sub in range(0, qe - qs, _MAX_B):
-                        cd, ci = knn_lane_topc(
-                            q_j[sub : sub + _MAX_B],
-                            si_j[sub : sub + _MAX_B],
-                            base_j, base_sq, jnp.int32(prefix),
-                            metric=metric, c=c, grid_tiles=g,
-                        )
-                        in_flight.append(
-                            (qs + sub, min(qs + sub + _MAX_B, qe), ci, cd)
-                        )
+                    # one dispatch per 2048-row block: the kernel's 2D grid
+                    # walks the query sub-blocks internally
+                    cd, ci = knn_lane_topc(
+                        q_j, si_j, base_j, base_sq, jnp.int32(prefix),
+                        metric=metric, c=c, grid_tiles=grid_for(prefix),
+                    )
+                    in_flight.append((qs, qe, ci, cd))
                 else:
                     cd, ci = K["knn_block"](
                         q_j, si_j, base_j, base_sq, jnp.int32(prefix),
@@ -773,7 +765,7 @@ def append_batch(store: GraphStore, vectors: np.ndarray) -> list[int]:
     import jax
     import jax.numpy as jnp
 
-    from scintirete_tpu.ops.pallas_scan import _MAX_B, LANES, knn_lane_topc
+    from scintirete_tpu.ops.pallas_scan import LANES, knn_lane_topc
 
     K = _kernels()
     vectors = np.asarray(vectors, np.float32)
@@ -818,7 +810,7 @@ def append_batch(store: GraphStore, vectors: np.ndarray) -> list[int]:
         while g * LANES < count and g < max_tiles:
             g *= 16
         g = min(g, max_tiles)
-        step = _MAX_B if use_fused else _QBLOCK
+        step = _QBLOCK  # the fused kernel's 2D grid covers the whole block
         for qs in range(0, nq, step):
             qe = min(qs + step, nq)
             qb = np.zeros((step, store.dim), np.float32)
@@ -981,7 +973,7 @@ def append_batch(store: GraphStore, vectors: np.ndarray) -> list[int]:
                 ci_m = np.full((nq, c), -1, np.int32)
                 cd = np.full((nq, c), np.inf, np.float32)
                 in_flight = []
-                stepm = _MAX_B if use_fused else _QBLOCK
+                stepm = _QBLOCK
                 for qs in range(0, nq, stepm):
                     qe = min(qs + stepm, nq)
                     qb = np.zeros((stepm, store.dim), np.float32)

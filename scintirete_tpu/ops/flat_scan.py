@@ -128,7 +128,6 @@ def flat_topk_fused(
     Requires N % LANES == 0 (callers pad capacity to a power of two)."""
     from scintirete_tpu.ops.distance import dist_from_dots
     from scintirete_tpu.ops.pallas_scan import (
-        _MAX_B,
         lane_topk_scan,
         lane_topk_scan_int8,
     )
@@ -141,25 +140,20 @@ def flat_topk_fused(
         q_scan = jnp.where(qn > 1e-30, q32 / jnp.maximum(qn, 1e-30), 0.0)
     else:
         q_scan = q32
+    # ONE kernel dispatch for the whole batch: the kernels take a 2D grid
+    # (query blocks x base tiles), so any B that is a multiple of 512 (or
+    # small) runs as a single program — no Python sub-batch loop
     if scan_base.dtype == jnp.int8:
         assert base_scale is not None, "int8 scan needs per-row scales"
-        parts = [
-            lane_topk_scan_int8(
-                q_scan[s : s + _MAX_B], scan_base, base_scale,
-                base_sq_norms, invalid, metric, interpret=interpret,
-            )
-            for s in range(0, B, _MAX_B)
-        ]
+        lane_d, lane_i = lane_topk_scan_int8(
+            q_scan, scan_base, base_scale, base_sq_norms, invalid, metric,
+            interpret=interpret,
+        )
     else:
-        parts = [
-            lane_topk_scan(
-                q_scan[s : s + _MAX_B], scan_base, base_sq_norms, invalid,
-                metric, interpret=interpret,
-            )
-            for s in range(0, B, _MAX_B)
-        ]
-    lane_d = jnp.concatenate([p[0] for p in parts], axis=0)  # [B, 2L]
-    lane_i = jnp.concatenate([p[1] for p in parts], axis=0)
+        lane_d, lane_i = lane_topk_scan(
+            q_scan, scan_base, base_sq_norms, invalid, metric,
+            interpret=interpret,
+        )
     width = min(width, lane_d.shape[1])
     _, sel = jax.lax.top_k(-lane_d, width)
     ti = jnp.take_along_axis(lane_i, sel, axis=1)  # [B, W] rows (-1 empty)
