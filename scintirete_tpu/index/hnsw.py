@@ -78,6 +78,9 @@ class HNSWIndex:
         # search of a tiny graph is microseconds (tpu.device_search_min_size)
         self.device_search_min_size = device_search_min_size
         self._device = None  # lazy DeviceIndex
+        # device-resident scan-form base for the batched append path
+        # (knn_build.append_batch scan_cache contract)
+        self._append_scan_cache: dict = {}
         # readers share; writers take short exclusive sections (see module doc)
         self._rw = RWLock()
         # writer-writer serialization across whole operations (a bulk build
@@ -177,6 +180,7 @@ class HNSWIndex:
                 with self._rw.write():
                     self.store = tmp
                     self._device = None  # fresh mirror -> full upload
+                    self._append_scan_cache.clear()  # new lineage
                     for vid, slot in zip(ids, slots):
                         self._register_slot(int(vid), int(slot))
             elif (
@@ -205,6 +209,7 @@ class HNSWIndex:
                 with self._rw.write():
                     self.store = tmp
                     self._device = None
+                    self._append_scan_cache.clear()  # new lineage
                     self.id_to_slot = new_map
                     self.slot_to_id = new_rev
             elif (
@@ -221,12 +226,20 @@ class HNSWIndex:
                 )
             ):
                 # mid-size append: batched kNN-append into a CLONE off-lock
-                # (readers keep the old store), published with one swap
-                tmp = self.store.clone()
-                slots = knn_build.append_batch(tmp, vectors)
+                # (readers keep the old store), published with one swap.
+                # The clone CONTINUES dirty tracking and the scan cache keeps
+                # the corpus device-resident, so neither the append's scans
+                # nor the post-swap mirror sync re-upload the whole graph
+                tmp = self.store.clone(track_dirty=True)
+                slots = knn_build.append_batch(
+                    tmp, vectors, scan_cache=self._append_scan_cache
+                )
                 with self._rw.write():
                     self.store = tmp
-                    self._device = None  # clone -> full upload next sync
+                    # keep self._device: DeviceGraph.sync is version-keyed
+                    # and the clone carried the mirror's dirty baseline —
+                    # it scatters only the rows this append touched (a
+                    # capacity change still forces the full upload path)
                     for vid, slot in zip(ids, slots):
                         self._register_slot(int(vid), int(slot))
             else:

@@ -750,7 +750,11 @@ def build(store: GraphStore, vectors: np.ndarray) -> list[int]:
 APPEND_MIN = 2048
 
 
-def append_batch(store: GraphStore, vectors: np.ndarray) -> list[int]:
+def append_batch(
+    store: GraphStore,
+    vectors: np.ndarray,
+    scan_cache: dict | None = None,
+) -> list[int]:
     """Batched append onto a NON-empty store.
 
     Same phase structure as `build`, restricted to the new rows: exact-scan
@@ -761,16 +765,27 @@ def append_batch(store: GraphStore, vectors: np.ndarray) -> list[int]:
     equivalent of host_algo._add_link / pruneConnections hnsw.go:586-614).
     New vectors become searchable together when the caller's write section
     publishes them.
+
+    `scan_cache` (a caller-owned dict) keeps the scan-form base matrix
+    device-RESIDENT between appends: when the cached copy matches the
+    store's vec_version/lineage and the pow-4 pad is unchanged, only the
+    appended rows are scattered in — the round-2 path re-uploaded the
+    whole corpus (~256 MB bf16 at 1M over the tunnel) on every batch,
+    which is where the 90 vec/s append throughput went (VERDICT r2
+    item 5). Upper-layer scans then run against the SAME cached base
+    through a per-row membership mask (knn_lane_topc_masked) instead of
+    uploading per-layer member matrices.
     """
     import jax
     import jax.numpy as jnp
 
-    from scintirete_tpu.ops.pallas_scan import LANES, knn_lane_topc
+    from scintirete_tpu.ops.pallas_scan import LANES, knn_lane_topc_masked
 
     K = _kernels()
     vectors = np.asarray(vectors, np.float32)
     n_new = len(vectors)
     metric = int(store.metric)
+    vv0 = store.vec_version  # cache validity is judged pre-alloc
     with _phase("append_alloc"):
         levels = store.draw_levels(n_new)
         store.reserve(levels)
@@ -778,57 +793,127 @@ def append_batch(store: GraphStore, vectors: np.ndarray) -> list[int]:
     new_slots = np.asarray(slots, np.int64)
     count = store.count
 
-    # scan-form base over ALL slots (slot-indexed, so scan hits ARE slots)
-    base = store.vectors[:count]
-    if metric == 2:  # cosine: scale-invariant; fused kernel ranks by -dot
-        norms = np.linalg.norm(base, axis=1, keepdims=True)
-        base = np.where(norms > 1e-30, base / np.maximum(norms, 1e-30), 0.0)
-    base = base.astype(np.float32)
+    def scan_rows(sl: np.ndarray) -> np.ndarray:
+        """Scan-form (cosine: normalized) f32 rows for the given slots."""
+        v = store.vectors[sl].astype(np.float32)
+        if metric == 2:
+            norms = np.linalg.norm(v, axis=1, keepdims=True)
+            v = np.where(norms > 1e-30, v / np.maximum(norms, 1e-30), 0.0)
+        return v
 
     npad = _pad_pow4(count, minimum=max(_ROUND0 * 2, 2048))
-    bpad = np.zeros((npad, store.dim), np.float32)
-    bpad[:count] = base
     dtype = _scan_dtype()
-    with _phase("append_upload"):
-        base_j = jnp.asarray(bpad.astype(dtype))
-        base_sq = jnp.asarray(np.sum(bpad * bpad, axis=1))
+    # SCNT_APPEND_INTERPRET=1: run the fused/masked path in Pallas
+    # interpret mode — lets the CPU test suite exercise the scan-cache and
+    # masked-kernel logic that otherwise only runs on real TPUs
+    interp = os.environ.get("SCNT_APPEND_INTERPRET") == "1"
     use_fused = (
-        jax.default_backend() == "tpu"
+        (jax.default_backend() == "tpu" or interp)
         and npad % LANES == 0
         and dtype == jnp.bfloat16
     )
+    cache_hit = (
+        scan_cache is not None
+        and use_fused
+        and scan_cache.get("lineage") is getattr(store, "lineage", None)
+        and scan_cache.get("vec_version") == vv0
+        and scan_cache.get("npad") == npad
+    )
+    with _phase("append_upload"):
+        if cache_hit:
+            from scintirete_tpu.index.device import DeviceGraph
+
+            new_sf = scan_rows(new_slots)
+            rows32 = new_slots.astype(np.int32)
+            base_j = DeviceGraph._scatter_into(
+                scan_cache["base_j"], rows32, new_sf
+            )
+            base_sq = DeviceGraph._scatter_into(
+                scan_cache["base_sq"],
+                rows32,
+                np.sum(new_sf * new_sf, axis=1).astype(np.float32),
+            )
+        else:
+            bpad = np.zeros((npad, store.dim), np.float32)
+            bpad[:count] = scan_rows(np.arange(count))
+            base_j = jnp.asarray(bpad.astype(dtype))
+            base_sq = jnp.asarray(np.sum(bpad * bpad, axis=1))
+    if scan_cache is not None and use_fused:
+        scan_cache.update(
+            lineage=getattr(store, "lineage", None),
+            vec_version=store.vec_version,
+            npad=npad,
+            base_j=base_j,
+            base_sq=base_sq,
+        )
     max_tiles = npad // LANES
 
-    def scan_new(q_slots: np.ndarray, c: int) -> tuple[np.ndarray, np.ndarray]:
-        """Exact top-c LAYER-0 candidates of the given new slots (self
-        excluded, deleted filtered on host)."""
+    grid_g = 1
+    while grid_g * LANES < count and grid_g < max_tiles:
+        grid_g *= 16
+    grid_g = min(grid_g, max_tiles)
+
+    def scan_masked(
+        q_slots: np.ndarray, invalid_j, c: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact top-c candidates of the given slots against the base rows
+        whose mask is 0 (self excluded in-kernel). One program shape serves
+        layer 0 and every upper layer."""
         nq = len(q_slots)
         ci = np.full((nq, c), -1, np.int32)
         cd = np.full((nq, c), np.inf, np.float32)
         in_flight = []
-        g = 1
-        while g * LANES < count and g < max_tiles:
-            g *= 16
-        g = min(g, max_tiles)
-        step = _QBLOCK  # the fused kernel's 2D grid covers the whole block
+        for qs in range(0, nq, _QBLOCK):
+            qe = min(qs + _QBLOCK, nq)
+            qb = np.zeros((_QBLOCK, store.dim), np.float32)
+            qb[: qe - qs] = scan_rows(q_slots[qs:qe])
+            si = np.full(_QBLOCK, -1, np.int32)
+            si[: qe - qs] = q_slots[qs:qe]
+            d_, i_ = knn_lane_topc_masked(
+                jnp.asarray(qb.astype(dtype)), jnp.asarray(si),
+                base_j, base_sq, invalid_j,
+                metric=metric, c=c, grid_tiles=grid_g, interpret=interp,
+            )
+            in_flight.append((qs, qe, i_, d_))
+        _drain_flight(in_flight, ci, cd)
+        order = np.argsort(cd, axis=1, kind="stable")
+        return (
+            np.take_along_axis(ci, order, axis=1),
+            np.take_along_axis(cd, order, axis=1),
+        )
+
+    def layer_invalid(member_mask: np.ndarray):
+        """[npad] f32 device mask: 1.0 = not scannable (non-member, deleted,
+        padding)."""
+        inv = np.ones(npad, np.float32)
+        ok = member_mask & ~store.deleted[:count]
+        inv[:count] = (~ok).astype(np.float32)
+        return jnp.asarray(inv)
+
+    def scan_new(q_slots: np.ndarray, c: int) -> tuple[np.ndarray, np.ndarray]:
+        """Exact top-c LAYER-0 candidates of the given new slots (self
+        excluded, deleted filtered on host)."""
+        if use_fused:
+            return scan_masked(
+                q_slots, layer_invalid(np.ones(count, bool)), c
+            )
+        nq = len(q_slots)
+        ci = np.full((nq, c), -1, np.int32)
+        cd = np.full((nq, c), np.inf, np.float32)
+        in_flight = []
+        step = _QBLOCK
         for qs in range(0, nq, step):
             qe = min(qs + step, nq)
             qb = np.zeros((step, store.dim), np.float32)
-            qb[: qe - qs] = base[q_slots[qs:qe]]
+            qb[: qe - qs] = scan_rows(q_slots[qs:qe])
             si = np.full(step, -1, np.int32)
             si[: qe - qs] = q_slots[qs:qe]
             q_j = jnp.asarray(qb.astype(dtype))
             si_j = jnp.asarray(si)
-            if use_fused:
-                d_, i_ = knn_lane_topc(
-                    q_j, si_j, base_j, base_sq, jnp.int32(count),
-                    metric=metric, c=c, grid_tiles=g,
-                )
-            else:
-                d_, i_ = K["knn_block"](
-                    q_j, si_j, base_j, base_sq, jnp.int32(count),
-                    metric=metric, c=c, tile=min(_TILE, npad),
-                )
+            d_, i_ = K["knn_block"](
+                q_j, si_j, base_j, base_sq, jnp.int32(count),
+                metric=metric, c=c, tile=min(_TILE, npad),
+            )
             in_flight.append((qs, qe, i_, d_))
         _drain_flight(in_flight, ci, cd)
         # drop tombstoned candidates (pool shrinks; -1 tail)
@@ -956,19 +1041,24 @@ def append_batch(store: GraphStore, vectors: np.ndarray) -> list[int]:
             row_index = np.full(count, -1, np.int32)
             row_index[live_m] = np.arange(nm_l, dtype=np.int32)
             c = min(KNN_CANDIDATES, max(nm_l - 1, 1))
-            if nm_l > 2048:
+            if use_fused and nm_l > 2048:
+                # masked scan over the CACHED full base (mask = layer
+                # membership) — no per-layer member-matrix upload, one
+                # program shape for every layer
+                member_mask = np.zeros(count, bool)
+                member_mask[live_m] = True
+                cand_d, cand_i = scan_masked(
+                    new_l, layer_invalid(member_mask), c
+                )
+            elif nm_l > 2048:
                 # device scan over the member matrix (host numpy pairwise
                 # at 50k+ members costs minutes on a 1-core box)
                 mpad = _pad_pow4(nm_l, minimum=2048)
                 mbase = np.zeros((mpad, store.dim), np.float32)
-                mbase[:nm_l] = base[live_m]
+                mbase[:nm_l] = scan_rows(live_m)
                 mb_j = jnp.asarray(mbase.astype(dtype))
                 mb_sq = jnp.asarray(np.sum(mbase * mbase, axis=1))
                 m_tiles = mpad // LANES
-                gm = 1
-                while gm * LANES < nm_l and gm < m_tiles:
-                    gm *= 16
-                gm = min(gm, m_tiles)
                 nq = len(new_l)
                 ci_m = np.full((nq, c), -1, np.int32)
                 cd = np.full((nq, c), np.inf, np.float32)
@@ -977,21 +1067,15 @@ def append_batch(store: GraphStore, vectors: np.ndarray) -> list[int]:
                 for qs in range(0, nq, stepm):
                     qe = min(qs + stepm, nq)
                     qb = np.zeros((stepm, store.dim), np.float32)
-                    qb[: qe - qs] = base[new_l[qs:qe]]
+                    qb[: qe - qs] = scan_rows(new_l[qs:qe])
                     si = np.full(stepm, -1, np.int32)
                     si[: qe - qs] = row_index[new_l[qs:qe]]
                     q_j = jnp.asarray(qb.astype(dtype))
                     si_j = jnp.asarray(si)
-                    if use_fused:
-                        d_, i_ = knn_lane_topc(
-                            q_j, si_j, mb_j, mb_sq, jnp.int32(nm_l),
-                            metric=metric, c=c, grid_tiles=gm,
-                        )
-                    else:
-                        d_, i_ = K["knn_block"](
-                            q_j, si_j, mb_j, mb_sq, jnp.int32(nm_l),
-                            metric=metric, c=c, tile=min(_TILE, mpad),
-                        )
+                    d_, i_ = K["knn_block"](
+                        q_j, si_j, mb_j, mb_sq, jnp.int32(nm_l),
+                        metric=metric, c=c, tile=min(_TILE, mpad),
+                    )
                     in_flight.append((qs, qe, i_, d_))
                 _drain_flight(in_flight, ci_m, cd)
                 cand_d = cd
@@ -999,7 +1083,7 @@ def append_batch(store: GraphStore, vectors: np.ndarray) -> list[int]:
                     ci_m >= 0, live_m[np.maximum(ci_m, 0)], -1
                 ).astype(np.int32)
             else:
-                d = _np_pairwise(base[new_l], base[live_m], metric)
+                d = _np_pairwise(scan_rows(new_l), scan_rows(live_m), metric)
                 # self-exclusion: a new node is itself a member
                 for i, s in enumerate(new_l):
                     j = row_index[int(s)]

@@ -99,6 +99,14 @@ class GraphStore:
         self.max_layer = -1
         # monotonically bumped on every mutation; device sync is keyed off it
         self.version = 0
+        # bumped only when VECTOR contents change (slot allocation); the
+        # append-path device scan cache is keyed off it — adjacency edits
+        # and tombstones don't invalidate a cached vector matrix
+        self.vec_version = 0
+        # identity token shared by clone() (a clone CONTINUES the lineage;
+        # a restored/rebuilt store starts a new one) — guards the append
+        # scan cache against cross-store vec_version collisions
+        self.lineage: object = object()
         rng_seed = params.resolved_seed()
         self.rng = np.random.default_rng(rng_seed)
         self.seed = rng_seed
@@ -206,6 +214,7 @@ class GraphStore:
         self.count += n
         self.live += n
         self.version += 1
+        self.vec_version += 1
         return slots
 
     def alloc_slot(self, vector: np.ndarray, level: int) -> int:
@@ -226,6 +235,7 @@ class GraphStore:
             ls.add(slot)
             self._mark_layer("layer_rows", l, slot)
         self.version += 1
+        self.vec_version += 1
         return slot
 
     # ----- level assignment (reference: hnsw.go:458-469) -----
@@ -287,12 +297,18 @@ class GraphStore:
         self._mark("deleted", slot)
         self.version += 1
 
-    def clone(self) -> "GraphStore":
+    def clone(self, track_dirty: bool = False) -> "GraphStore":
         """Deep copy of all graph arrays (the RNG object is SHARED so the
         level-draw sequence continues wherever the clone is used next).
         Used by the batched append path: assemble into the clone off-lock
         while readers keep searching the original, then publish with one
-        atomic swap."""
+        atomic swap.
+
+        With track_dirty=True the clone CONTINUES the original's dirty
+        bookkeeping (deep-copied sets): a device mirror synced against the
+        original stays valid for the clone and the post-swap sync scatters
+        only the rows the append touched, instead of re-uploading the whole
+        graph (~600 MB at 1M over the tunnel)."""
         new = GraphStore.__new__(GraphStore)
         new.__dict__.update(self.__dict__)
         new.vectors = self.vectors.copy()
@@ -307,7 +323,20 @@ class GraphStore:
             nl.nbrs = ls.nbrs.copy()
             nl.row_of = ls.row_of.copy()
             new.layers.append(nl)
-        new._dirty = None  # fresh mirror after the swap
+        if track_dirty and self._dirty is not None:
+            new._dirty = {
+                "vectors": set(self._dirty["vectors"]),
+                "neighbors0": set(self._dirty["neighbors0"]),
+                "deleted": set(self._dirty["deleted"]),
+                "layers": {
+                    l: set(r) for l, r in self._dirty["layers"].items()
+                },
+                "layer_rows": {
+                    l: set(r) for l, r in self._dirty["layer_rows"].items()
+                },
+            }
+        else:
+            new._dirty = None  # fresh mirror after the swap
         return new
 
     def max_degree(self, layer: int) -> int:

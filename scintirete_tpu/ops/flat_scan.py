@@ -128,8 +128,8 @@ def flat_topk_fused(
     Requires N % LANES == 0 (callers pad capacity to a power of two)."""
     from scintirete_tpu.ops.distance import dist_from_dots
     from scintirete_tpu.ops.pallas_scan import (
-        lane_topk_scan,
-        lane_topk_scan_int8,
+        lane_topk_scan_packed,
+        lane_topk_scan_packed_int8,
     )
 
     B, D = queries.shape
@@ -142,15 +142,20 @@ def flat_topk_fused(
         q_scan = q32
     # ONE kernel dispatch for the whole batch: the kernels take a 2D grid
     # (query blocks x base tiles), so any B that is a multiple of 512 (or
-    # small) runs as a single program — no Python sub-batch loop
+    # small) runs as a single program — no Python sub-batch loop. The
+    # packed-key kernels fold each score block in 3 VPU ops (the unpacked
+    # top-2 fold was ~4x the matmul time and capped the scan at ~4% of
+    # int8 peak); ranking scores carry tile ids in their low mantissa
+    # bits, harmless at candidate-selection precision, and the f32 rerank
+    # below makes returned distances exact regardless.
     if scan_base.dtype == jnp.int8:
         assert base_scale is not None, "int8 scan needs per-row scales"
-        lane_d, lane_i = lane_topk_scan_int8(
+        lane_d, lane_i = lane_topk_scan_packed_int8(
             q_scan, scan_base, base_scale, base_sq_norms, invalid, metric,
             interpret=interpret,
         )
     else:
-        lane_d, lane_i = lane_topk_scan(
+        lane_d, lane_i = lane_topk_scan_packed(
             q_scan, scan_base, base_sq_norms, invalid, metric,
             interpret=interpret,
         )

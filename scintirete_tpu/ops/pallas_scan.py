@@ -140,6 +140,239 @@ def _lane_scan_kernel_int8(
     _fold_best_two(s, si, d1_ref, i1_ref, d2_ref, i2_ref)
 
 
+# --- packed-key lane scan -------------------------------------------------
+#
+# The top-2 fold above costs ~9 VPU ops per score — at D=128 that is ~4x
+# the MXU time of the score matmul itself, and the measured serving scan
+# runs at ~4% of int8 peak (52k QPS at 1M / B=8192). Packing the tile id
+# into the low mantissa bits of the f32 ranking score turns the fold into
+# THREE min/max ops on ONE array pair:
+#
+#   key = f32(score) with low _TILE_BITS mantissa bits = tile index
+#   k1  = min(k1, key);  k2 = min(k2, max(k1_old, key))
+#
+# f32 ordering survives the mangling for any sign (mantissa bits only
+# perturb the value by <= 2^-10 relative), candidates are reranked in
+# exact f32 downstream, and the winner's tile index is recovered from its
+# own bit pattern. Invalid rows use a large FINITE sentinel (inf's
+# exponent + nonzero mantissa would be NaN).
+
+_TILE_BITS = 13  # supports 2^13 tiles = 4M rows at LANES=512
+_TILE_MASK = (1 << _TILE_BITS) - 1
+_SENTINEL = 3.0e38  # "no candidate"; stays finite after bit-mangling
+
+
+def _pack_tile(s, step):
+    bits = jax.lax.bitcast_convert_type(s, jnp.int32)
+    bits = jnp.bitwise_or(
+        jnp.bitwise_and(bits, jnp.int32(~_TILE_MASK)), jnp.int32(step)
+    )
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def unpack_lane_keys(keys, lanes: int = LANES):
+    """[B, 2*lanes] packed keys -> (scores f32, rows i32, valid bool).
+    Row = embedded tile index * lanes + lane position; scores keep the
+    mangled low bits (callers rerank in exact f32)."""
+    bits = jax.lax.bitcast_convert_type(keys, jnp.int32)
+    tile = jnp.bitwise_and(bits, jnp.int32(_TILE_MASK))
+    lane = jax.lax.broadcasted_iota(jnp.int32, keys.shape, 1) % lanes
+    rows = tile * lanes + lane
+    valid = keys < (_SENTINEL * 0.5)
+    return keys, jnp.where(valid, rows, -1), valid
+
+
+def _fold_best_two_packed(key, k1_ref, k2_ref):
+    k1_old = k1_ref[:]
+    k1_ref[:] = jnp.minimum(k1_old, key)
+    k2_ref[:] = jnp.minimum(k2_ref[:], jnp.maximum(k1_old, key))
+
+
+def _lane_scan_kernel_packed(
+    q_ref,  # [B, D] bf16 (VMEM, resident)
+    base_ref,  # [LANES, D] bf16 (VMEM, per grid step)
+    bsq_ref,  # [1, LANES] f32 (L2 only; zeros otherwise)
+    inv_ref,  # [1, LANES] f32 (1.0 = invalid slot)
+    k1_ref,  # out [B, LANES] f32 — packed lane best
+    k2_ref,  # out [B, LANES] f32 — packed lane second-best
+    *,
+    metric: int,
+):
+    step = pl.program_id(1)
+
+    @pl.when(step == 0)
+    def _init():
+        k1_ref[:] = jnp.full_like(k1_ref, _SENTINEL)
+        k2_ref[:] = jnp.full_like(k2_ref, _SENTINEL)
+
+    dots = jax.lax.dot_general(
+        q_ref[:],
+        base_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if metric == _L2:
+        s = bsq_ref[:] - 2.0 * dots
+    else:
+        s = -dots
+    s = jnp.where(inv_ref[:] > 0.5, _SENTINEL, s)
+    _fold_best_two_packed(_pack_tile(s, step), k1_ref, k2_ref)
+
+
+def _lane_scan_kernel_packed_int8(
+    q_ref,  # [B, D] i8 (VMEM, resident)
+    qs_ref,  # [B, 1] f32 per-query dequant scale
+    base_ref,  # [LANES, D] i8 (VMEM, per grid step)
+    bs_ref,  # [1, LANES] f32 per-row dequant scale
+    bsq_ref,  # [1, LANES] f32 (L2 only)
+    inv_ref,  # [1, LANES] f32
+    k1_ref, k2_ref,  # out [B, LANES] f32 packed
+    *,
+    metric: int,
+):
+    step = pl.program_id(1)
+
+    @pl.when(step == 0)
+    def _init():
+        k1_ref[:] = jnp.full_like(k1_ref, _SENTINEL)
+        k2_ref[:] = jnp.full_like(k2_ref, _SENTINEL)
+
+    dots = jax.lax.dot_general(
+        q_ref[:],
+        base_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    if metric == _L2:
+        s = bsq_ref[:] - 2.0 * dots * (qs_ref[:] * bs_ref[:])
+    else:
+        s = -dots * bs_ref[:]
+    s = jnp.where(inv_ref[:] > 0.5, _SENTINEL, s)
+    _fold_best_two_packed(_pack_tile(s, step), k1_ref, k2_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "interpret"))
+def lane_topk_scan_packed(
+    queries,  # [B, D] f32 (pre-normalized for cosine); B % 8 == 0
+    base,  # [N, D] bf16; N % LANES == 0
+    base_sq,  # [N] f32
+    invalid,  # [N] f32 (1.0 = deleted/empty slot)
+    metric: int,
+    interpret: bool = False,
+):
+    """Packed-key variant of lane_topk_scan. Returns (keys [B, 2*LANES]
+    f32 ranking-form with embedded tile ids, rows [B, 2*LANES] i32,
+    -1 = empty)."""
+    B, D = queries.shape
+    N = base.shape[0]
+    assert N % LANES == 0 and N // LANES <= (1 << _TILE_BITS)
+    SUB = min(B, _MAX_B)
+    assert B % SUB == 0, f"B must be a multiple of {SUB} (or < {_MAX_B})"
+    qb = queries.astype(jnp.bfloat16)
+
+    grid = (B // SUB, N // LANES)
+    kernel = functools.partial(_lane_scan_kernel_packed, metric=metric)
+    k1, k2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (SUB, D), lambda b, i: (b, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (LANES, D), lambda b, i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, LANES), lambda b, i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, LANES), lambda b, i: (0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec(
+                (SUB, LANES), lambda b, i: (b, 0), memory_space=pltpu.VMEM
+            )
+            for _ in range(2)
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, LANES), jnp.float32),
+        ),
+        interpret=interpret,
+    )(qb, base, base_sq.reshape(1, N), invalid.reshape(1, N))
+    keys = jnp.concatenate([k1, k2], axis=1)
+    _, rows, _ = unpack_lane_keys(keys)
+    return keys, rows
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "interpret"))
+def lane_topk_scan_packed_int8(
+    queries,  # [B, D] f32 (pre-normalized for cosine); B % 8 == 0
+    base8,  # [N, D] i8 per-row quantized
+    base_scale,  # [N] f32 dequant scales
+    base_sq,  # [N] f32
+    invalid,  # [N] f32
+    metric: int,
+    interpret: bool = False,
+):
+    """Packed-key variant of lane_topk_scan_int8."""
+    B, D = queries.shape
+    N = base8.shape[0]
+    assert N % LANES == 0 and N // LANES <= (1 << _TILE_BITS)
+    SUB = min(B, _MAX_B)
+    assert B % SUB == 0, f"B must be a multiple of {SUB} (or < {_MAX_B})"
+    q8, q_scale = quantize_rows(queries.astype(jnp.float32))
+
+    grid = (B // SUB, N // LANES)
+    kernel = functools.partial(_lane_scan_kernel_packed_int8, metric=metric)
+    k1, k2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (SUB, D), lambda b, i: (b, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (SUB, 1), lambda b, i: (b, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (LANES, D), lambda b, i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, LANES), lambda b, i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, LANES), lambda b, i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, LANES), lambda b, i: (0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec(
+                (SUB, LANES), lambda b, i: (b, 0), memory_space=pltpu.VMEM
+            )
+            for _ in range(2)
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, LANES), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        q8,
+        q_scale.reshape(B, 1),
+        base8,
+        base_scale.reshape(1, N),
+        base_sq.reshape(1, N),
+        invalid.reshape(1, N),
+    )
+    keys = jnp.concatenate([k1, k2], axis=1)
+    _, rows, _ = unpack_lane_keys(keys)
+    return keys, rows
+
+
 def _knn_lane_kernel(
     nvalid_ref,  # [1, 1] i32 (SMEM) — true prefix length
     q_ref,  # [B, D] bf16 (VMEM, resident)
@@ -171,6 +404,123 @@ def _knn_lane_kernel(
     s = jnp.where(bad, jnp.inf, s)
 
     _fold_best_two(s, si, d1_ref, i1_ref, d2_ref, i2_ref)
+
+
+def _knn_lane_kernel_masked(
+    q_ref,  # [B, D] bf16 (VMEM, resident)
+    self_ref,  # [B, 1] i32 — base row of each query (self-exclusion)
+    base_ref,  # [LANES, D] bf16 (VMEM, per grid step)
+    bsq_ref,  # [1, LANES] f32 (L2 only)
+    inv_ref,  # [1, LANES] f32 — 1.0 = masked-out base row
+    d1_ref, i1_ref, d2_ref, i2_ref,  # out [B, LANES]
+    *,
+    metric: int,
+):
+    """knn kernel with an arbitrary per-row validity mask instead of the
+    prefix bound — lets the append path scan ONE cached full-corpus base
+    for any layer's member subset (mask = membership & ~deleted)."""
+    step = pl.program_id(1)
+
+    @pl.when(step == 0)
+    def _init():
+        _init_lane_outs(d1_ref, i1_ref, d2_ref, i2_ref)
+
+    dots = jax.lax.dot_general(
+        q_ref[:],
+        base_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B, LANES]
+    if metric == _L2:
+        s = bsq_ref[:] - 2.0 * dots
+    else:
+        s = -dots
+    si = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + step * s.shape[1]
+    bad = (inv_ref[:] > 0.5) | (si == self_ref[:])
+    s = jnp.where(bad, jnp.inf, s)
+
+    _fold_best_two(s, si, d1_ref, i1_ref, d2_ref, i2_ref)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric", "c", "grid_tiles", "interpret")
+)
+def knn_lane_topc_masked(
+    queries,  # [B, D] f32 SCAN-form (normalized for cosine); B % 8 == 0
+    self_idx,  # [B] i32 base row per query (-1 = no exclusion)
+    base,  # [N, D] bf16 SCAN-form; N % LANES == 0
+    base_sq,  # [N] f32 squared norms of the f32 scan-form rows
+    invalid,  # [N] f32 — 1.0 = masked-out row (non-member/deleted/padding)
+    metric: int,
+    c: int,
+    grid_tiles: int,
+    interpret: bool = False,
+):
+    """Masked-subset variant of knn_lane_topc: top-c over base rows whose
+    mask is 0, self-excluded, TRUE finalized distances. One program serves
+    every layer of the append path against the same cached base."""
+    B, D = queries.shape
+    N = base.shape[0]
+    assert N % LANES == 0 and grid_tiles <= N // LANES
+    SUB = min(B, _MAX_B)
+    assert B % SUB == 0, f"B must be a multiple of {SUB} (or < {_MAX_B})"
+    q32 = queries.astype(jnp.float32)
+    qb = q32.astype(jnp.bfloat16)
+
+    grid = (B // SUB, grid_tiles)
+    kernel = functools.partial(_knn_lane_kernel_masked, metric=metric)
+    d1, i1, d2, i2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (SUB, D), lambda b, i: (b, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (SUB, 1), lambda b, i: (b, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (LANES, D), lambda b, i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, LANES), lambda b, i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, LANES), lambda b, i: (0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec(
+                (SUB, LANES), lambda b, i: (b, 0), memory_space=pltpu.VMEM
+            )
+            for _ in range(4)
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, LANES), jnp.int32),
+        ),
+        interpret=interpret,
+    )(
+        qb,
+        jnp.asarray(self_idx, jnp.int32).reshape(B, 1),
+        base,
+        base_sq.reshape(1, N),
+        invalid.reshape(1, N),
+    )
+    lane_d = jnp.concatenate([d1, d2], axis=1)
+    lane_i = jnp.concatenate([i1, i2], axis=1)
+    neg_d, sel = jax.lax.top_k(-lane_d, c)
+    cd = -neg_d
+    ci = jnp.take_along_axis(lane_i, sel, axis=1)
+    if metric == _L2:
+        q_sq = jnp.sum(q32 * q32, axis=1, keepdims=True)
+        cd = jnp.sqrt(jnp.maximum(cd + q_sq, 0.0))
+    elif metric == _COSINE:
+        cd = 1.0 + cd  # -cos -> 1 - cos
+    cd = jnp.where(ci < 0, jnp.inf, cd)
+    return cd, ci
 
 
 @functools.partial(

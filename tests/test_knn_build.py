@@ -319,3 +319,106 @@ def test_batched_append(rng, metric, heuristic):
         hits += len(want & {r[0] for r in res[b]})
     recall = hits / (len(queries) * 10)
     assert recall >= 0.93, recall
+
+
+def test_batched_append_scan_cache_interpret(rng, monkeypatch):
+    """The fused/masked append path with the device-resident scan cache
+    (TPU serving path), exercised on CPU via Pallas interpret mode: the
+    second append must HIT the cache (incremental row scatter, no corpus
+    re-upload) and recall gates must hold for all generations."""
+    monkeypatch.setenv("SCNT_BUILD_SCAN_DTYPE", "bfloat16")
+    monkeypatch.setenv("SCNT_APPEND_INTERPRET", "1")
+
+    n1, n2, n3 = 2500, 2200, 2100
+    base = clustered(rng, n1 + n2 + n3)
+    metric = DistanceMetric.L2
+    idx = HNSWIndex(
+        dim=base.shape[1],
+        params=HNSWParams(
+            m=8, ef_construction=60, ef_search=50, seed=7,
+            neighbor_heuristic=True,
+        ),
+        metric=metric,
+        use_device=True,
+    )
+    idx.bulk_insert(list(range(1, n1 + 1)), base[:n1])
+    assert idx._append_scan_cache == {}  # bulk build doesn't populate it
+
+    idx.bulk_insert(list(range(n1 + 1, n1 + n2 + 1)), base[n1 : n1 + n2])
+    cache = idx._append_scan_cache
+    assert cache and cache["vec_version"] == idx.store.vec_version
+    base_j_first = cache["base_j"]
+
+    idx.bulk_insert(
+        list(range(n1 + n2 + 1, n1 + n2 + n3 + 1)), base[n1 + n2 :]
+    )
+    # second append must have taken the incremental path: same npad, new
+    # vec_version, and base_j derived by scatter (no fresh full upload of
+    # identical shape is observable, but vec_version continuity is)
+    assert cache["vec_version"] == idx.store.vec_version
+    assert cache["npad"] == base_j_first.shape[0]
+
+    # the cached base matches the store's scan-form rows exactly
+    import numpy as _np
+
+    vecs = idx.store.vectors[: idx.store.count].astype(_np.float32)
+    cached = _np.asarray(cache["base_j"], _np.float32)[: idx.store.count]
+    _np.testing.assert_allclose(
+        cached,
+        vecs.astype(cached.dtype),
+        rtol=1e-2, atol=1e-2,
+    )
+
+    # recall gate over all three generations
+    n = n1 + n2 + n3
+    assert idx.size() == n
+    queries = base[::41] + 0.05 * rng.standard_normal(
+        (len(base[::41]), base.shape[1])
+    ).astype(np.float32)
+    true_i = brute_topk(queries, base, metric, 10)
+    res = idx.search_batch(queries, SearchParams(top_k=10, ef_search=50))
+    hits = 0
+    for b in range(len(queries)):
+        want = {int(j) + 1 for j in true_i[b]}
+        hits += len(want & {r[0] for r in res[b]})
+    recall = hits / (len(queries) * 10)
+    assert recall >= 0.93, recall
+
+
+def test_batched_append_keeps_device_mirror(rng):
+    """After a batched append that does NOT grow capacity, the device
+    mirror must sync INCREMENTALLY (dirty-preserving clone): only touched
+    rows are scattered, no full re-upload (VERDICT r2 item 5 — the full
+    upload was ~600 MB at 1M). The FIRST append after a bulk build grows
+    cap (build reserves exactly pow2>=n) and legitimately full-uploads —
+    a once-per-doubling amortized cost."""
+    n1, n2, n3 = 2500, 2200, 2100
+    base = clustered(rng, n1 + n2 + n3)
+    idx = HNSWIndex(
+        dim=base.shape[1],
+        params=HNSWParams(m=8, ef_construction=60, ef_search=50, seed=7),
+        metric=DistanceMetric.L2,
+        use_device=True,
+    )
+    idx.bulk_insert(list(range(1, n1 + 1)), base[:n1])
+    # append 1: grows cap 4096 -> 8192, full upload path (tracking reset)
+    idx.bulk_insert(list(range(n1 + 1, n1 + n2 + 1)), base[n1 : n1 + n2])
+    idx.search_batch(base[:4], SearchParams(top_k=3, ef_search=50))
+    dev = idx._device
+    assert dev is not None
+    graph = dev.graph if hasattr(dev, "graph") else dev._graph
+    pivots_before = graph.arrays["pivots"]
+
+    # append 2: count 6800 < cap 8192 — must be incremental
+    idx.bulk_insert(
+        list(range(n1 + n2 + 1, n1 + n2 + n3 + 1)), base[n1 + n2 :]
+    )
+    assert idx._device is dev  # mirror object survived the publish
+    assert idx.store._dirty is not None  # clone carried tracking
+    res = idx.search_batch(
+        base[n1 + n2 : n1 + n2 + 4], SearchParams(top_k=3, ef_search=50)
+    )
+    # incremental sync: _full_upload would have REPLACED pivots
+    assert graph.arrays["pivots"] is pivots_before
+    # appended vectors are searchable through the device path
+    assert res[0][0][0] == n1 + n2 + 1

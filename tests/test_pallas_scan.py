@@ -208,3 +208,50 @@ class TestFusedTopK:
             jnp.asarray(np.sum(base * base, axis=1)), interpret=True,
         )
         assert not np.any(np.asarray(s) == 0)
+
+    @pytest.mark.parametrize("metric", [L2, COS, IP])
+    def test_knn_lane_topc_masked_vs_numpy(self, rng, metric):
+        """Masked-subset scan (append path): arbitrary membership mask,
+        self-exclusion, true finalized distances."""
+        from scintirete_tpu.ops.distance import distance_np
+        from scintirete_tpu.ops.pallas_scan import knn_lane_topc_masked
+
+        B, D, N, c = 16, 24, 2 * LANES, 8
+        base = rng.standard_normal((N, D)).astype(np.float32)
+        if metric == COS:
+            base = base / np.linalg.norm(base, axis=1, keepdims=True)
+        # a scattered member subset (every 3rd row) + some holes
+        invalid = np.ones(N, np.float32)
+        members = np.arange(0, N, 3)
+        invalid[members] = 0.0
+        invalid[members[5]] = 1.0  # a deleted member
+        q = base[members[:B]]  # queries ARE members -> self-exclusion
+        self_idx = members[:B].astype(np.int32)
+        b_sq = np.sum(base * base, axis=1).astype(np.float32)
+
+        cd, ci = knn_lane_topc_masked(
+            jnp.asarray(q), jnp.asarray(self_idx),
+            jnp.asarray(base, jnp.bfloat16), jnp.asarray(b_sq),
+            jnp.asarray(invalid), metric=metric, c=c,
+            grid_tiles=2, interpret=True,
+        )
+        cd, ci = np.asarray(cd), np.asarray(ci)
+
+        qb = np.asarray(jnp.asarray(q, jnp.bfloat16), np.float32)
+        bb = np.asarray(jnp.asarray(base, jnp.bfloat16), np.float32)
+        ref = distance_np(qb, bb, DistanceMetric(metric)).astype(np.float32)
+        ref[:, invalid > 0.5] = np.inf
+        ref[np.arange(B), self_idx] = np.inf
+        true_i = np.argsort(ref, axis=1, kind="stable")[:, :c]
+        # mask/self discipline is exact
+        assert not np.any(invalid[np.maximum(ci, 0)] > 0.5)
+        assert not np.any(ci == self_idx[:, None])
+        hits = sum(
+            len(set(ci[b].tolist()) & set(true_i[b].tolist()))
+            for b in range(B)
+        )
+        assert hits / (B * c) >= 0.95
+        for b in range(B):
+            np.testing.assert_allclose(
+                cd[b], ref[b, ci[b]], rtol=1e-2, atol=1e-3
+            )
