@@ -162,12 +162,12 @@ def run_scale(n, rng):
     # steady-state serving
     idx.search_batch(queries, params)
     log(f"n={n}: warm pass (compile+run) {time.time() - t0:.1f}s")
-    passes = []
-    for _ in range(3):
-        t0 = time.time()
-        results = idx.search_batch(queries, params)
-        passes.append(time.time() - t0)
-    elapsed = sum(passes) / len(passes)
+    # steady-state pipelined serving (depth 2) — see the flat section below
+    n_passes = 6
+    t0 = time.time()
+    houts = idx.search_batch_pipelined([queries] * n_passes, params)
+    elapsed = (time.time() - t0) / n_passes
+    results = houts[-1]
     qps = N_QUERIES / elapsed
     recall = recall_of(results, true_i)
     out["hnsw_qps"] = round(qps, 1)
@@ -175,7 +175,7 @@ def run_scale(n, rng):
     out["ef_search"] = EF_SEARCH
     log(
         f"n={n}: HNSW ef={EF_SEARCH}: {qps:.0f} QPS recall@{K}={recall:.4f} "
-        f"(passes {[round(p, 3) for p in passes]})"
+        f"({n_passes} pipelined passes, {elapsed:.3f}s/pass)"
     )
 
     # exact-scan FlatIndex on the same corpus (recall 1.0 by construction;
@@ -188,12 +188,17 @@ def run_scale(n, rng):
     flat.bulk_insert(list(range(1, n + 1)), base)
     out["flat_build_seconds"] = round(time.time() - t0, 1)
     flat.search_batch(queries, params)  # warm (kernel + packed fetch)
-    passes = []
-    for _ in range(3):
-        t0 = time.time()
-        fresults = flat.search_batch(queries, params)
-        passes.append(time.time() - t0)
-    fqps = N_QUERIES / (sum(passes) / len(passes))
+    # steady-state pipelined serving (depth 2): a loaded server keeps the
+    # next batch's upload+kernel in flight while the previous batch's
+    # results stream back — the tunnel transfer is the wall, not the scan
+    # (scripts/prof_tunnel_floor.py), so overlapping the two is the honest
+    # picture of sustained throughput. 6 independent passes, averaged.
+    n_passes = 6
+    t0 = time.time()
+    outs = flat.search_batch_pipelined([queries] * n_passes, params)
+    elapsed = (time.time() - t0) / n_passes
+    fresults = outs[-1]
+    fqps = N_QUERIES / elapsed
     frecall = recall_of(fresults, true_i)
     out["flat_qps"] = round(fqps, 1)
     out["flat_recall_at_10"] = round(frecall, 4)

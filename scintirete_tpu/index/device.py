@@ -775,14 +775,34 @@ class DeviceIndex:
         spill: int = 0,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Returns (slots [B, k] i64, dists [B, k] f32); -1/inf padding."""
+        return self.search_collect(
+            self.search_submit(
+                store, queries, k, ef, max_steps=max_steps,
+                entry_mode=entry_mode, expand=expand, spill=spill,
+            )
+        )
+
+    def search_submit(
+        self,
+        store: GraphStore,
+        queries: np.ndarray,
+        k: int,
+        ef: int,
+        max_steps: int | None = None,
+        entry_mode: str = "pivot",
+        expand: int = SEARCH_EXPAND,
+        spill: int = 0,
+    ):
+        """Upload + dispatch WITHOUT fetching; pair with search_collect.
+        Lets a serving loop overlap the next batch's upload/kernel with
+        the previous batch's result fetch (the tunnel transfer dominates
+        the pass; see scripts/prof_tunnel_floor.py)."""
         self.sync(store)
         B = queries.shape[0]
         ef = max(ef, k)
         if max_steps is None:
             # generous bound; convergence normally stops the loop much earlier
             max_steps = ef + 64
-        out_slots = np.empty((B, k), np.int64)
-        out_dists = np.empty((B, k), np.float32)
         a = self.graph.arrays
         entry, entry_level = self._entry_info(store)
         # dispatch every sub-batch first (jax dispatch is async), then
@@ -842,6 +862,13 @@ class DeviceIndex:
                     spill=spill,
                 )
             in_flight.append((start, n, d, s))
+        return (B, k, in_flight)
+
+    def search_collect(self, payload) -> tuple[np.ndarray, np.ndarray]:
+        """Fetch a search_submit handle: one packed transfer, sliced."""
+        B, k, in_flight = payload
+        out_slots = np.empty((B, k), np.int64)
+        out_dists = np.empty((B, k), np.float32)
         d_host, s_host = _fetch_packed(
             [d for _, _, d, _ in in_flight], [s for _, _, _, s in in_flight]
         )

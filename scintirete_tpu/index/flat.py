@@ -255,17 +255,73 @@ class FlatIndex:
                 slots_b, dists_b = self._device_search(queries, k)
             else:
                 slots_b, dists_b = self._host_search(queries, k)
-            ids_b = self.slot_to_id[np.maximum(slots_b, 0)].tolist()
-            valid_b = (slots_b >= 0).tolist()
-            dists_l = dists_b.tolist()
-            return [
-                [
-                    (vid, dist)
-                    for vid, dist, ok in zip(id_row, dist_row, ok_row)
-                    if ok
-                ]
-                for id_row, dist_row, ok_row in zip(ids_b, dists_l, valid_b)
+            return self._assemble(slots_b, dists_b)
+
+    def _assemble(self, slots_b, dists_b):
+        ids_b = self.slot_to_id[np.maximum(slots_b, 0)].tolist()
+        valid_b = (slots_b >= 0).tolist()
+        dists_l = dists_b.tolist()
+        return [
+            [
+                (vid, dist)
+                for vid, dist, ok in zip(id_row, dist_row, ok_row)
+                if ok
             ]
+            for id_row, dist_row, ok_row in zip(ids_b, dists_l, valid_b)
+        ]
+
+    # ----- pipelined serving -----
+    #
+    # The serving pass over a tunneled TPU is TRANSFER-bound: at 1M x
+    # B=4096 the device scan is ~16 ms but query upload + result fetch
+    # are ~100 ms of tunnel time (scripts/prof_tunnel_floor.py). A server
+    # under load has independent batches in flight, so the upload+kernel
+    # of batch i+1 can proceed while batch i's results stream back —
+    # submit/collect splits the pass at exactly that boundary.
+
+    def search_submit(self, queries: np.ndarray, params: SearchParams):
+        """Dispatch a search (upload + kernel) WITHOUT fetching results.
+
+        Returns an opaque pending handle for search_collect. Device
+        arrays snapshot the corpus at submit time; slots are stable
+        (deletes are soft), so collect-after-mutation stays consistent.
+        """
+        queries = np.asarray(queries, np.float32)
+        if queries.ndim != 2 or queries.shape[1] != self.dim:
+            raise dimension_mismatch(self.dim, int(queries.shape[-1]))
+        with self._rw.read():
+            if self.live == 0 or not self.use_device:
+                # degenerate/host paths run eagerly; collect just returns
+                return ("done", self.search_batch(queries, params))
+            k = min(params.top_k, self.live)
+            return ("dev", self._device_submit(queries, k))
+
+    def search_collect(self, pending) -> list[list[tuple[int, float]]]:
+        """Fetch + assemble the results of a search_submit handle."""
+        kind, payload = pending
+        if kind == "done":
+            return payload
+        with self._rw.read():
+            slots_b, dists_b = self._device_collect(payload)
+            return self._assemble(slots_b, dists_b)
+
+    def search_batch_pipelined(
+        self, batches, params: SearchParams, depth: int = 2
+    ) -> list[list[list[tuple[int, float]]]]:
+        """Search several query batches with up to `depth` in flight:
+        steady-state throughput is max(upload, kernel, fetch) per batch
+        instead of their sum."""
+        from collections import deque
+
+        out = []
+        pending: deque = deque()
+        for q in batches:
+            pending.append(self.search_submit(q, params))
+            if len(pending) >= depth:
+                out.append(self.search_collect(pending.popleft()))
+        while pending:
+            out.append(self.search_collect(pending.popleft()))
+        return out
 
     def _host_search(self, queries, k):
         from scintirete_tpu.ops.distance import distance_np
@@ -375,10 +431,12 @@ class FlatIndex:
         self._dev_version = self._version
 
     def _device_search(self, queries, k):
+        return self._device_collect(self._device_submit(queries, k))
+
+    def _device_submit(self, queries, k):
         import jax
         import jax.numpy as jnp
 
-        from scintirete_tpu.index.device import _fetch_packed
         from scintirete_tpu.ops.flat_scan import (
             flat_topk,
             flat_topk_fused,
@@ -395,8 +453,6 @@ class FlatIndex:
                     self._sync()
         a = self._dev
         B = queries.shape[0]
-        out_slots = np.empty((B, k), np.int64)
-        out_dists = np.empty((B, k), np.float32)
         in_flight = []
         step = self.search_batch_size
         # fused Pallas lane scan: score matrix stays in VMEM (needs Mosaic,
@@ -433,10 +489,7 @@ class FlatIndex:
                 width=max(4 * k, 64),
                 base_scale=a.get("scan_scale"),
             )
-            d_host, s_host = _fetch_packed([d], [s])
-            out_dists[:] = d_host[:B]
-            out_slots[:] = s_host[:B]
-            return out_slots, out_dists
+            return (B, k, [(0, B, d, s)])
         # an int8 scan copy is only usable by the fused kernel; elsewhere
         # fall back to the plain f32 scan
         scan8 = "scan" in a and a["scan"].dtype == jnp.int8
@@ -471,6 +524,14 @@ class FlatIndex:
                     recall_target=self.RECALL_TARGET,
                 )
             in_flight.append((start, n, d, s))
+        return (B, k, in_flight)
+
+    def _device_collect(self, payload):
+        from scintirete_tpu.index.device import _fetch_packed
+
+        B, k, in_flight = payload
+        out_slots = np.empty((B, k), np.int64)
+        out_dists = np.empty((B, k), np.float32)
         # ONE device->host fetch for the whole batch: per-sub-batch fetches
         # each pay a full transfer round trip (~20 ms over a tunneled TPU)
         d_host, s_host = _fetch_packed(

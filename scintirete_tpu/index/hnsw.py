@@ -324,17 +324,70 @@ class HNSWIndex:
                 slots_b, dists_b = self._device_search(queries, params)
             else:
                 slots_b, dists_b = self._host_search(queries, params)
-            ids_b = self.slot_to_id[np.maximum(slots_b, 0)].tolist()
-            valid_b = (slots_b >= 0).tolist()
-            dists_l = dists_b.tolist()
-            return [
-                [
-                    (ids, dist)
-                    for ids, dist, ok in zip(id_row, dist_row, valid_row)
-                    if ok
-                ]
-                for id_row, dist_row, valid_row in zip(ids_b, dists_l, valid_b)
+            return self._assemble(slots_b, dists_b)
+
+    def _assemble(self, slots_b, dists_b):
+        ids_b = self.slot_to_id[np.maximum(slots_b, 0)].tolist()
+        valid_b = (slots_b >= 0).tolist()
+        dists_l = dists_b.tolist()
+        return [
+            [
+                (ids, dist)
+                for ids, dist, ok in zip(id_row, dist_row, valid_row)
+                if ok
             ]
+            for id_row, dist_row, valid_row in zip(ids_b, dists_l, valid_b)
+        ]
+
+    def search_submit(self, queries: np.ndarray, params: SearchParams):
+        """Dispatch a batched search (upload + kernels) without fetching;
+        pair with search_collect — see FlatIndex.search_submit."""
+        queries = np.asarray(queries, np.float32)
+        if queries.ndim != 2 or queries.shape[1] != self.store.dim:
+            from scintirete_tpu.errors import dimension_mismatch
+
+            raise dimension_mismatch(self.store.dim, int(queries.shape[-1]))
+        with self._rw.read():
+            if (
+                self.store.live == 0
+                or not self.use_device
+                or self.store.live < self.device_search_min_size
+            ):
+                return ("done", self.search_batch(queries, params))
+            ef = params.ef_search or self.store.params.ef_search
+            return (
+                "dev",
+                self._get_device().search_submit(
+                    self.store, queries, params.top_k,
+                    max(ef, params.top_k),
+                ),
+            )
+
+    def search_collect(self, pending) -> list[list[tuple[int, float]]]:
+        kind, payload = pending
+        if kind == "done":
+            return payload
+        with self._rw.read():
+            slots_b, dists_b = self._get_device().search_collect(payload)
+            return self._assemble(slots_b, dists_b)
+
+    def search_batch_pipelined(
+        self, batches, params: SearchParams, depth: int = 2
+    ) -> list[list[list[tuple[int, float]]]]:
+        """Search several query batches keeping up to `depth` in flight
+        (steady-state serving over a tunneled TPU; the transfer dominates
+        the pass, so overlap is ~2x of sequential search_batch calls)."""
+        from collections import deque
+
+        out = []
+        pending: deque = deque()
+        for q in batches:
+            pending.append(self.search_submit(q, params))
+            if len(pending) >= depth:
+                out.append(self.search_collect(pending.popleft()))
+        while pending:
+            out.append(self.search_collect(pending.popleft()))
+        return out
 
     def _host_search(self, queries, params):
         slots_b, dists_b = [], []

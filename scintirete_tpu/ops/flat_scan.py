@@ -160,7 +160,12 @@ def flat_topk_fused(
             interpret=interpret,
         )
     width = min(width, lane_d.shape[1])
-    _, sel = jax.lax.top_k(-lane_d, width)
+    # approx_min_k (PartialReduce) instead of a sort-based top_k: selecting
+    # 64 of 2048 lane winners was ~60% of the device pass at B=4096. The
+    # pool is reranked exactly below, so selection recall (>=0.99 here, and
+    # misses are confined to candidates ranked near `width` — far below the
+    # returned k) is the only approximation.
+    _, sel = jax.lax.approx_min_k(lane_d, width, recall_target=0.99)
     ti = jnp.take_along_axis(lane_i, sel, axis=1)  # [B, W] rows (-1 empty)
 
     cand = exact_base[jnp.maximum(ti, 0)]  # [B, W, D] f32

@@ -40,13 +40,19 @@ _L2 = int(DistanceMetric.L2)
 _COSINE = int(DistanceMetric.COSINE)
 _IP = int(DistanceMetric.INNER_PRODUCT)
 
-LANES = 512  # lane count = base rows per grid step; [B, LANES] stays in VMEM
+# lane count = base rows per grid step. 1024 (not 512): the scan's wall
+# is ~60% per-grid-step fixed overhead (measured: halving fold ops moved
+# steady-state QPS <15%), so fewer/fatter steps beat leaner folds. With
+# SUB=1024 x LANES=1024 a 16k-query 1M-row scan is 16384 steps instead
+# of 65536. VMEM: resident packed outs 2 x [1024, 1024] f32 = 8 MB (the
+# scoped-vmem limit is 16 MB — 2048x1024 OOMs).
+LANES = 1024
 # query rows per grid block. Kernels take a 2D grid (B // _MAX_B query
 # blocks x N // LANES base tiles): one dispatch covers the WHOLE query
 # batch — round 2 split batches into 512-row calls from Python, and the
 # per-call dispatch overhead over the tunneled TPU dominated the scan
-# (~3% MFU, VERDICT r2 item 3). VMEM per block step is unchanged.
-_MAX_B = 512
+# (~3% MFU, VERDICT r2 item 3).
+_MAX_B = 1024
 
 
 def _init_lane_outs(d1_ref, i1_ref, d2_ref, i2_ref):

@@ -268,6 +268,15 @@ class ShardedHNSWIndex:
         # online insert into one shard restacks/reuploads ONLY that shard
         self._parts: list[Optional[dict]] = [None] * self.S
         self._part_versions = [-1] * self.S
+        # id -> owning shard, maintained incrementally (inserts/deletes/
+        # imports). Round-robin placement means ownership is not derivable
+        # from the id, and a per-lookup scan over every shard's dict is
+        # O(S) per id — pathological for bulk host paths at 1M x 8 shards.
+        self._id_shard: dict[int, int] = {}
+        # stacked [S, cap] slot->id table mirroring _stacked's cap, so
+        # result assembly is one fancy-index gather instead of a per-hit
+        # Python dict walk
+        self._slot_ids: Optional[np.ndarray] = None
 
     def size(self) -> int:
         return sum(sub.size() for sub in self.subs)
@@ -277,16 +286,16 @@ class ShardedHNSWIndex:
 
     @property
     def id_to_slot(self) -> dict:
+        # cold-path view (compact, AOF rewrite); hot paths route through
+        # _id_shard below
         merged: dict[int, int] = {}
         for sub in self.subs:
             merged.update(sub.id_to_slot)
         return merged
 
     def _owner(self, vector_id: int):
-        for sub in self.subs:
-            if vector_id in sub.id_to_slot:
-                return sub
-        return None
+        s = self._id_shard.get(vector_id)
+        return None if s is None else self.subs[s]
 
     def contains(self, vector_id: int) -> bool:
         sub = self._owner(vector_id)
@@ -339,27 +348,34 @@ class ShardedHNSWIndex:
         idx.subs = [
             HNSWIndex.import_graph_state(s, use_device=True) for s in sub_states
         ]
+        idx._id_shard = {
+            vid: s for s, sub in enumerate(idx.subs) for vid in sub.id_to_slot
+        }
         return idx
 
     def bulk_insert(self, ids: list[int], vectors: np.ndarray) -> None:
         vectors = np.asarray(vectors, np.float32)
+        n = len(ids)
+        assign = (self._insert_cursor + np.arange(n)) % self.S
         for s in range(self.S):
-            sel = [
-                i for i in range(len(ids)) if (self._insert_cursor + i) % self.S == s
-            ]
-            if sel:
-                self.subs[s].bulk_insert([ids[i] for i in sel], vectors[sel])
+            sel = np.nonzero(assign == s)[0]
+            if sel.size:
+                shard_ids = [ids[i] for i in sel.tolist()]
+                self.subs[s].bulk_insert(shard_ids, vectors[sel])
+                self._id_shard.update((vid, s) for vid in shard_ids)
                 # the build's single-device mirror is dead weight once the
                 # fused stacked arrays re-sync; free the HBM now
                 self.subs[s]._device = None
-        self._insert_cursor = (self._insert_cursor + len(ids)) % self.S
+        self._insert_cursor = (self._insert_cursor + n) % self.S
 
     def delete(self, vector_id: int) -> bool:
         from scintirete_tpu.errors import ErrorCode, ScintireteError
 
-        for sub in self.subs:
-            if vector_id in sub.id_to_slot:
-                return sub.delete(vector_id)
+        sub = self._owner(vector_id)
+        if sub is not None:
+            # soft delete: the id keeps its slot (and shard) until compact,
+            # so _id_shard stays as-is — matches sub.id_to_slot membership
+            return sub.delete(vector_id)
         raise ScintireteError(
             ErrorCode.VECTOR_NOT_FOUND, f"vector not found: {vector_id}"
         )
@@ -499,6 +515,17 @@ class ShardedHNSWIndex:
                 key: self._assemble_incremental(key, padded, changed)
                 for key in self._SPECS
             }
+        # stacked slot->id mirror for vectorized result assembly
+        if self._slot_ids is None or self._slot_ids.shape != (self.S, cap):
+            self._slot_ids = np.zeros((self.S, cap), np.uint64)
+            refresh = range(self.S)
+        else:
+            refresh = [j for j in range(self.S) if changed[j]]
+        for j in refresh:
+            sid = self.subs[j].slot_to_id
+            m = min(sid.shape[0], cap)
+            self._slot_ids[j, :m] = sid[:m]
+            self._slot_ids[j, m:] = 0
         self._shape_sig = sig
         self._synced_versions = versions
 
@@ -531,13 +558,14 @@ class ShardedHNSWIndex:
         )
         d, gs = np.asarray(d)[:B], np.asarray(gs)[:B]
         cap = a["vectors"].shape[1]
-        out = []
-        for b in range(B):
-            row = []
-            for dist, g in zip(d[b], gs[b]):
-                if g < 0 or np.isinf(dist):
-                    continue
-                shard, slot = divmod(int(g), cap)
-                row.append((int(self.subs[shard].slot_to_id[slot]), float(dist)))
-            out.append(row)
-        return out
+        safe = np.maximum(gs, 0)
+        hit_ids = self._slot_ids[safe // cap, safe % cap]
+        ok = (gs >= 0) & np.isfinite(d)
+        return [
+            [
+                (int(vid), float(dist))
+                for vid, dist, o in zip(hit_ids[b], d[b], ok[b])
+                if o
+            ]
+            for b in range(B)
+        ]
