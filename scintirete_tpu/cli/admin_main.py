@@ -19,6 +19,78 @@ import os
 import sys
 
 
+def _next_pow2(n: int, minimum: int = 256) -> int:
+    n = max(n, minimum)
+    return 1 << (n - 1).bit_length()
+
+
+def _memstat(state: dict) -> dict:
+    """Per-collection memory analysis of an RDB snapshot: actual snapshot
+    array bytes plus projected live host-RAM / HBM footprints using the
+    docs/sizing.md formulas (reference analogue: tools/memory_analysis.go —
+    the Go heap-analysis tool; here the layout is flat arrays, so the
+    analysis is exact arithmetic over the snapshot)."""
+    out: dict = {"version": state.get("version"), "databases": {}}
+    tot_host = tot_hbm = tot_snap = 0
+    for dbname, db in (state.get("databases") or {}).items():
+        dbrep: dict = {}
+        for cname, col in (db.get("collections") or {}).items():
+            g = col.get("graph") or {}
+            kind = g.get("kind", "hnsw")
+            n = int(g.get("count", 0))
+            cap = _next_pow2(n)
+            dim = int(g.get("dim", 0) or 0)
+            arrays = {}
+            for key in ("vectors", "levels", "deleted", "neighbors0",
+                        "slot_to_id"):
+                a = g.get(key)
+                if a is not None and hasattr(a, "nbytes"):
+                    arrays[key] = int(a.nbytes)
+            layer_bytes = sum(
+                int(ls["node_slot"].nbytes) + int(ls["nbrs"].nbytes)
+                for ls in g.get("layers", ())
+                if hasattr(ls.get("node_slot"), "nbytes")
+            )
+            if layer_bytes:
+                arrays["upper_layers"] = layer_bytes
+            snap = sum(arrays.values())
+            params = g.get("params") or {}
+            m = int(params.get("m", 16))
+            if kind == "flat":
+                # vectors f32 + deleted + slot_to_id + id dict
+                host = cap * (dim * 4 + 1 + 8 + 90)
+                # device: f32 + sq_norms + valid + int8 scan copy + scale
+                hbm = cap * (dim * 4 + 4 + 1 + dim + 4)
+            else:
+                host = cap * (dim * 4 + 2 * m * 4 + 5 + 90) + int(
+                    cap * (m * 4 + 8) / max(2 * m - 1, 1)
+                )
+                hbm = cap * (dim * 4 + 4 + 1 + 2 * m * 4) + cap * 4
+            meta = col.get("metadata") or {}
+            dbrep[cname] = {
+                "kind": kind,
+                "count": n,
+                "live": int(g.get("live", n)),
+                "dim": dim,
+                "capacity_next_pow2": cap,
+                "snapshot_bytes": snap,
+                "snapshot_arrays": arrays,
+                "est_host_ram_bytes": int(host),
+                "est_hbm_bytes": int(hbm),
+                "metadata_entries": len(meta),
+            }
+            tot_host += host
+            tot_hbm += hbm
+            tot_snap += snap
+        out["databases"][dbname] = dbrep
+    out["totals"] = {
+        "snapshot_bytes": int(tot_snap),
+        "est_host_ram_bytes": int(tot_host),
+        "est_hbm_bytes": int(tot_hbm),
+    }
+    return out
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="scintirete-tpu-admin")
     parser.add_argument("-data-dir", "--data-dir", default="./data",
@@ -38,6 +110,12 @@ def main(argv=None) -> int:
 
     sub.add_parser("inspect", help="print AOF/RDB stats as JSON")
 
+    sub.add_parser(
+        "memstat",
+        help="per-collection memory analysis of the RDB snapshot "
+        "(host RAM / HBM sizing per docs/sizing.md)",
+    )
+
     args = parser.parse_args(argv)
 
     from scintirete_tpu.errors import ScintireteError
@@ -56,6 +134,12 @@ def main(argv=None) -> int:
             else:  # restore
                 mgr.restore_backup(args.path)
                 print(f"restored {args.path} -> {rdb.path}")
+        elif args.cmd == "memstat":
+            state = rdb.load()
+            if state is None:
+                print("no RDB snapshot found", file=sys.stderr)
+                return 1
+            print(json.dumps(_memstat(state), indent=2))
         else:  # inspect
             aof_path = os.path.join(args.data_dir, args.aof)
             info = {

@@ -484,3 +484,24 @@ class TestAdminCLI:
 
         info = _json.loads(capsys.readouterr().out)
         assert info["rdb"]["exists"] and info["backups"]
+
+    def test_memstat(self, tmp_path, rng, capsys):
+        from scintirete_tpu.cli.admin_main import main as admin
+
+        engine, pm = make_manager(tmp_path)
+        populate(engine, rng, n=7)
+        pm.save_snapshot()
+        pm.stop()
+        data_dir = str(tmp_path / "data")
+
+        assert admin(["-data-dir", data_dir, "memstat"]) == 0
+        import json as _json
+
+        rep = _json.loads(capsys.readouterr().out)
+        col = rep["databases"]["db"]["c"]
+        assert col["count"] == 7 and col["live"] == 7
+        assert col["snapshot_bytes"] > 0
+        assert col["snapshot_arrays"]["vectors"] == 7 * col["dim"] * 4
+        assert rep["totals"]["est_host_ram_bytes"] >= col["snapshot_bytes"]
+        # missing RDB -> error exit
+        assert admin(["-data-dir", str(tmp_path), "memstat"]) == 1
