@@ -254,11 +254,23 @@ def _kernels():
         d = dist_from_dots(dots, t_sq, n_sq, metric)
         return jnp.where(nbr_i < 0, INF, d)
 
+    @functools.partial(jax.jit, static_argnames=("block",))
+    def slice_block(base, base_sq, start, block: int):
+        """Device-side query-block slice of the shared scan base: the
+        builder's query rows ARE base rows, so slicing on device replaces
+        ~n x D x 4 bytes of host query uploads per layer with zero
+        transfer. `start` is traced (one program per block size)."""
+        qb = jax.lax.dynamic_slice_in_dim(base, start, block, 0)
+        qsq = jax.lax.dynamic_slice_in_dim(base_sq, start, block, 0)
+        si = jax.lax.iota(jnp.int32, block) + start
+        return qb, qsq, si
+
     return {
         "knn_block": knn_block,
         "select_block": select_block,
         "merge_dedupe": merge_dedupe,
         "nbr_dists": nbr_dists,
+        "slice_block": slice_block,
     }
 
 
@@ -368,146 +380,204 @@ def _scan_dtype():
     return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
 
-def _scan_rounds(
-    member_vecs: np.ndarray,  # [Nm, D] in SHUFFLED (round) order
-    base_j,  # [Npad, D] device base (scan dtype), padded member matrix
-    base_sq,  # [Npad] f32 device squared norms
+def _make_build_ctx(
+    vectors: np.ndarray,  # [n, D] f32 in BASE (level-desc) order
     metric: int,
-    c: int,
-    n_sparse: int = 24,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Doubling-round exact candidates: row i scans the prefix containing
-    its own round. Additionally EVERY row takes its top-n_sparse neighbors
-    among the sparse _ROUND0 prefix — long-range candidate material for the
-    diversity heuristic (late rows otherwise see only local neighbors; early
-    rows get this for free from their small round). Returns
-    (cand_i [Nm, c + n_sparse], cand_d), deduplicated, distance-ascending,
-    in member order.
+) -> dict:
+    """Upload the ONE shared scan base a bulk build uses for every layer.
 
-    Shape discipline: every XLA variant costs a fresh (multi-minute, on a
-    tunneled TPU) compile, so all rounds share ONE padded base buffer with
-    an n_valid prefix mask, and every query block is padded to _QBLOCK.
-    Masked-out columns still burn MXU flops (~1.5x the minimal doubling-
-    round cost) — far cheaper than a compile per round shape. The sparse
-    pass runs against a SEPARATE tiny [_ROUND0*2, D] base (a full-width scan
-    for a 128-column job was half the 1M build's scan time in round 2
-    profiling), reusing each round's already-uploaded query block."""
+    The base holds all n vectors ordered by (level desc, random): levels
+    are i.i.d. (reference: hnsw.go:458-469), so any prefix is a uniform
+    random sample of any enclosing prefix — which makes every layer's
+    member set a PREFIX of this single base, and lets one upload (and one
+    set of compiled program shapes) serve the scans, selections and merges
+    of every layer. Round 2 padded and uploaded a separate base per layer;
+    those per-layer program variants were most of the fresh-process warmup
+    the round-2 driver bench measured (VERDICT r3 item 1), and the
+    per-layer uploads were ~2x the corpus in tunnel traffic.
+
+    Cosine rows are pre-normalized (scan form); distances computed from
+    them are the reference's finalized cosine distances.
+    """
     import jax
     import jax.numpy as jnp
 
-    from scintirete_tpu.ops.pallas_scan import LANES, knn_lane_topc
+    from scintirete_tpu.ops.pallas_scan import LANES
 
-    K = _kernels()
-    nm, dim = member_vecs.shape
-    npad = base_j.shape[0]
-    dtype = base_j.dtype
-    tile = min(_TILE, npad)
-    # fused Pallas scan (scores stay in VMEM — the XLA path's [Bq, tile]
-    # score blocks in HBM were ~90% of round-2's 1M build time) on real
-    # TPUs; grid sizes walk a pow-16 ladder to bound compile variants
+    n, dim = vectors.shape
+    if metric == 2:
+        norms = np.linalg.norm(vectors, axis=1, keepdims=True)
+        vectors = np.where(
+            norms > 1e-30, vectors / np.maximum(norms, 1e-30), 0.0
+        ).astype(np.float32)
+
+    dtype = _scan_dtype()
+    interp = os.environ.get("SCNT_BUILD_INTERPRET") == "1"
+    npad = _pad_pow4(n, minimum=max(_ROUND0 * 2, 2048))
     use_fused = (
-        jax.default_backend() == "tpu"
+        (jax.default_backend() == "tpu" or interp)
         and npad % LANES == 0
         and dtype == jnp.bfloat16
     )
-    max_tiles = npad // LANES
+    with _phase("upload"):
+        bpad = np.zeros((npad, dim), np.float32)
+        bpad[:n] = vectors
+        base_j = jnp.asarray(bpad.astype(dtype))
+        base_sq = jnp.asarray(np.sum(bpad * bpad, axis=1))
+        sparse = min(_ROUND0, n)
+        sp_pad = _ROUND0 * 2
+        sp = np.zeros((sp_pad, dim), np.float32)
+        sp[:sparse] = vectors[:sparse]
+        sp_base_j = jnp.asarray(sp.astype(dtype))
+        sp_sq = jnp.asarray(np.sum(sp * sp, axis=1))
+    return {
+        "n": n,
+        "npad": npad,
+        "metric": metric,
+        "dtype": dtype,
+        "use_fused": use_fused,
+        "interpret": interp,
+        "max_tiles": npad // LANES,
+        "tile": min(_TILE, npad),
+        "rows_f32": vectors,  # scan-form host rows (rare unaligned tiles)
+        "base_j": base_j,
+        "base_sq": base_sq,
+        "sparse": sparse,
+        "sp_pad": sp_pad,
+        "sp_base_j": sp_base_j,
+        "sp_sq": sp_sq,
+        "sp_i": None,  # [n, ns] hub candidates, filled on the first scan
+        "sp_d": None,
+        "ns": min(24, max(sparse - 1, 1)),
+    }
 
-    def grid_for(prefix: int) -> int:
-        # x16 ladder: each distinct grid size is its own kernel program,
-        # and every program costs a fresh per-process lowering + load over
-        # the tunnel — coarse steps waste some masked MXU work on small
-        # prefixes (cheap) to keep the program count tiny
-        g = 1
-        while g * LANES < prefix and g < max_tiles:
-            g *= 16
-        return min(g, max_tiles)
+
+def _grid_for(prefix: int, max_tiles: int) -> int:
+    """Two-rung grid ladder: full scan, or 1/16th for small prefixes.
+    Each distinct grid size is a separate compiled program (a fresh
+    per-process load over the tunnel), and the masked-out MXU work of a
+    coarse grid is sub-second at any scale — so two rungs, not round 2's
+    pow-16 walk whose extra program variants dominated fresh-process
+    builds."""
+    from scintirete_tpu.ops.pallas_scan import LANES
+
+    small = max(max_tiles // 16, 1)
+    return small if prefix <= small * LANES else max_tiles
+
+
+def _scan_rounds(ctx: dict, nm: int, c: int) -> tuple[np.ndarray, np.ndarray]:
+    """Doubling-round exact candidates for base rows [0, nm): row i scans
+    the prefix containing its own round (early rows see a sparse sample ->
+    long-range edges, the mechanism that keeps the graph routable), plus
+    top-ns candidates among the _ROUND0 global hubs (computed once, at the
+    first/largest nm, and sliced for deeper layers — the hub rows are
+    members of EVERY device-built layer since nm > HOST_LAYER_MAX >=
+    _ROUND0). Query blocks are device-side slices of the shared base:
+    zero host->device query traffic (round 2 uploaded every layer's rows).
+    Returns (cand_i [nm, c+ns], cand_d), deduplicated, distance-ascending,
+    in base-row order."""
+    import jax.numpy as jnp
+
+    K = _kernels()
+    sparse = ctx["sparse"]
+    ns = ctx["ns"]
+    do_sparse = sparse < nm
+    want_sparse = do_sparse and ctx["sp_i"] is None
+    if want_sparse:
+        ctx["sp_i"] = np.full((ctx["n"], ns), -1, np.int32)
+        ctx["sp_d"] = np.full((ctx["n"], ns), np.inf, np.float32)
 
     cand_i = np.full((nm, c), -1, np.int32)
     cand_d = np.full((nm, c), np.inf, np.float32)
-
-    sparse = min(_ROUND0, nm)
-    ns = min(n_sparse, max(sparse - 1, 1))
-    do_sparse = sparse < nm
-    if do_sparse:
-        # tiny dedicated base for the long-range pass: one compile variant
-        # shared by every layer (fixed [_ROUND0*2, D] shape)
-        sp_pad = _ROUND0 * 2
-        sp_base = np.zeros((sp_pad, dim), np.float32)
-        sp_base[:sparse] = member_vecs[:sparse]
-        sp_base_j = jnp.asarray(sp_base.astype(dtype))
-        sp_sq = jnp.asarray(np.sum(sp_base * sp_base, axis=1))
-        sp_i = np.full((nm, ns), -1, np.int32)
-        sp_d = np.full((nm, ns), np.inf, np.float32)
-
-    def upload_block(qs, qe):
-        qb = np.zeros((_QBLOCK, dim), np.float32)
-        qb[: qe - qs] = member_vecs[qs:qe]
-        self_idx = np.full(_QBLOCK, -1, np.int32)
-        self_idx[: qe - qs] = np.arange(qs, qe, dtype=np.int32)
-        return jnp.asarray(qb.astype(dtype)), jnp.asarray(self_idx)
-
     with _phase(f"scan_n{nm}"):
-        start = 0
-        prefix = sparse
         in_flight = []
         sp_flight = []
+        start, prefix = 0, min(sparse, nm)
         while start < nm:
-            stop = prefix  # this round covers rows [start, prefix)
+            stop = prefix
             for qs in range(start, stop, _QBLOCK):
                 qe = min(qs + _QBLOCK, stop)
-                q_j, si_j = upload_block(qs, qe)
-                if use_fused:
-                    # one dispatch per 2048-row block: the kernel's 2D grid
-                    # walks the query sub-blocks internally
-                    cd, ci = knn_lane_topc(
-                        q_j, si_j, base_j, base_sq, jnp.int32(prefix),
-                        metric=metric, c=c, grid_tiles=grid_for(prefix),
+                if qs + _QBLOCK <= ctx["npad"]:
+                    qb, qsq, si = K["slice_block"](
+                        ctx["base_j"], ctx["base_sq"], np.int32(qs),
+                        block=_QBLOCK,
                     )
-                    in_flight.append((qs, qe, ci, cd))
+                else:
+                    # unaligned tail tile of a tiny build (npad == 2048):
+                    # a device slice would clamp and misalign; upload the
+                    # rows in the SAME dtypes so the program is shared
+                    rows = ctx["rows_f32"][qs:qe]
+                    qb_h = np.zeros((_QBLOCK, rows.shape[1]), np.float32)
+                    qb_h[: qe - qs] = rows
+                    qb = jnp.asarray(qb_h, ctx["dtype"])
+                    qsq = jnp.asarray(np.sum(qb_h * qb_h, axis=1))
+                    si_h = np.full(_QBLOCK, -1, np.int32)
+                    si_h[: qe - qs] = np.arange(qs, qe, dtype=np.int32)
+                    si = jnp.asarray(si_h)
+                if ctx["use_fused"]:
+                    from scintirete_tpu.ops.pallas_scan import knn_lane_topc
+
+                    cd, ci = knn_lane_topc(
+                        qb, si, ctx["base_j"], ctx["base_sq"],
+                        jnp.int32(prefix), metric=ctx["metric"], c=c,
+                        grid_tiles=_grid_for(prefix, ctx["max_tiles"]),
+                        interpret=ctx["interpret"], q_sq=qsq,
+                    )
                 else:
                     cd, ci = K["knn_block"](
-                        q_j, si_j, base_j, base_sq, jnp.int32(prefix),
-                        metric=metric, c=c, tile=tile,
+                        qb, si, ctx["base_j"], ctx["base_sq"],
+                        jnp.int32(prefix), metric=ctx["metric"], c=c,
+                        tile=ctx["tile"],
                     )
-                    in_flight.append((qs, qe, ci, cd))
-                if do_sparse:
-                    # same uploaded block, long-range candidates
+                in_flight.append((qs, qe, ci, cd))
+                if want_sparse:
                     scd, sci = K["knn_block"](
-                        q_j, si_j, sp_base_j, sp_sq, jnp.int32(sparse),
-                        metric=metric, c=ns, tile=sp_pad,
+                        qb, si, ctx["sp_base_j"], ctx["sp_sq"],
+                        jnp.int32(sparse), metric=ctx["metric"], c=ns,
+                        tile=ctx["sp_pad"],
                     )
                     sp_flight.append((qs, qe, sci, scd))
             start = stop
             prefix = min(prefix * 2, nm)
-        # ONE packed device->host transfer per result group: fetching each
-        # Pallas output individually costs ~1 s of tunnel round trip PER
-        # ARRAY (measured: 128 small fetches = 117 s); routed through a
-        # device-side concat+bitcast the whole layer is a single transfer
         _drain_flight(in_flight, cand_i, cand_d)
         if sp_flight:
-            _drain_flight(sp_flight, sp_i, sp_d)
+            _drain_flight(sp_flight, ctx["sp_i"], ctx["sp_d"])
 
     if not do_sparse:  # one round covered everything; nothing to add
         return cand_i, cand_d
 
-    # merge + dedupe on device (rows with an empty sparse part keep their
-    # list); rows padded to the shared pow2 ladder to bound compile variants
-    rp = _pad_pow2(nm, minimum=_QBLOCK)
-
-    def padded(a, fill):
-        out = np.full((rp,) + a.shape[1:], fill, a.dtype)
-        out[:nm] = a
-        return out
-
+    out_i = np.full((nm, c + ns), -1, np.int32)
+    out_d = np.full((nm, c + ns), np.inf, np.float32)
     with _phase(f"merge_sparse_n{nm}"):
-        mi, md = K["merge_dedupe"](
-            jnp.asarray(padded(cand_i, -1)),
-            jnp.asarray(padded(cand_d, np.float32(np.inf))),
-            jnp.asarray(padded(sp_i, -1)),
-            jnp.asarray(padded(sp_d, np.float32(np.inf))),
+        _merge_tiles(
+            cand_i, cand_d, ctx["sp_i"][:nm], ctx["sp_d"][:nm], out_i, out_d
         )
-        return np.asarray(mi)[:nm], np.asarray(md)[:nm]
+    return out_i, out_d
 
+
+def _merge_tiles(a_i, a_d, b_i, b_d, out_i, out_d) -> None:
+    """merge_dedupe over fixed [_QBLOCK, w] row tiles (round 2 padded whole
+    layers to a pow-2 row ladder — one program shape per layer size; fixed
+    tiles mean ONE program per width combination at any scale)."""
+    import jax.numpy as jnp
+
+    K = _kernels()
+    nm = len(a_i)
+    in_flight = []
+    for qs in range(0, nm, _QBLOCK):
+        qe = min(qs + _QBLOCK, nm)
+
+        def tile(a, fill):
+            t = np.full((_QBLOCK,) + a.shape[1:], fill, a.dtype)
+            t[: qe - qs] = a[qs:qe]
+            return jnp.asarray(t)
+
+        mi, md = K["merge_dedupe"](
+            tile(a_i, -1), tile(a_d, np.float32(np.inf)),
+            tile(b_i, -1), tile(b_d, np.float32(np.inf)),
+        )
+        in_flight.append((qs, qe, mi, md))
+    _drain_flight(in_flight, out_i, out_d)
 
 # layers at or below this size build on the host (numpy): a device build of
 # a tiny layer costs more in dispatch latency and one-off shape compiles
@@ -581,93 +651,51 @@ def _build_layer_host(
     return out
 
 
-def _build_layer(
-    member_vecs: np.ndarray,  # [Nm, D] f32, shuffled (round) order
-    metric: int,
-    max_deg: int,
-    n_candidates: int,
-    heuristic: bool,
-) -> np.ndarray:
-    """Adjacency [Nm, max_deg] in member-index space (-1 padded)."""
+def _select_tiles(ctx, ci_all, cd_all, max_deg, heuristic):
+    """Batched neighbor selection over fixed [_QBLOCK, width] row tiles
+    against the shared base (reference semantics per row, select_block)."""
     import jax.numpy as jnp
 
-    nm, dim = member_vecs.shape
-    if nm <= HOST_LAYER_MAX:
-        return _build_layer_host(
-            member_vecs, metric, max_deg, n_candidates, heuristic
-        )
-    if metric == 2:
-        # cosine: scan-form (normalized) members — distances and adjacency
-        # are scale-invariant, and the fused lane scan ranks by -dot over
-        # normalized rows
-        norms = np.linalg.norm(member_vecs, axis=1, keepdims=True)
-        member_vecs = np.where(
-            norms > 1e-30, member_vecs / np.maximum(norms, 1e-30), 0.0
-        ).astype(np.float32)
-
     K = _kernels()
-    c = min(n_candidates, max(nm - 1, 1))
+    nm, width = ci_all.shape
+    out_i = np.full((nm, max_deg), -1, np.int32)
+    out_d = np.full((nm, max_deg), np.inf, np.float32)
+    in_flight = []
+    for qs in range(0, nm, _QBLOCK):
+        qe = min(qs + _QBLOCK, nm)
+        ci = np.full((_QBLOCK, width), -1, np.int32)
+        cd = np.full((_QBLOCK, width), np.inf, np.float32)
+        ci[: qe - qs] = ci_all[qs:qe]
+        cd[: qe - qs] = cd_all[qs:qe]
+        si, sd = K["select_block"](
+            jnp.asarray(ci), jnp.asarray(cd), ctx["base_j"],
+            metric=ctx["metric"], max_deg=max_deg, heuristic=heuristic,
+        )
+        in_flight.append((qs, qe, si[:, :max_deg], sd[:, :max_deg]))
+    _drain_flight(in_flight, out_i, out_d)
+    return out_i, out_d
 
-    # ONE padded base upload per layer, shared by the candidate scans and
-    # the selection gathers (round-2 profiling showed the 0.5 GB layer-0
-    # matrix crossing the tunnel twice)
-    npad = _pad_pow4(nm, minimum=max(_ROUND0 * 2, 2048))
-    base = np.zeros((npad, dim), np.float32)
-    base[:nm] = member_vecs
-    with _phase(f"upload_n{nm}"):
-        # cast on HOST so bf16 halves the tunnel-upload bytes too
-        base_j = jnp.asarray(base.astype(_scan_dtype()))
-        base_sq = jnp.asarray(np.sum(base * base, axis=1))
 
-    cand_i, cand_d = _scan_rounds(member_vecs, base_j, base_sq, metric, c)
-    c = cand_i.shape[1]  # sparse augmentation may widen the pool
+def _layer_adj(ctx, nm, max_deg, heuristic):
+    """Adjacency [nm, max_deg] for base rows [0, nm) (-1 padded): doubling-
+    round exact candidates -> forward selection -> reverse-edge cap ->
+    merge -> final prune (reference semantics per phase; module
+    docstring)."""
+    cand_i, cand_d = _scan_rounds(ctx, nm, min(KNN_CANDIDATES, nm - 1))
 
-    rp = _pad_pow2(nm, minimum=_QBLOCK)  # row pad for whole-layer dispatches
-
-    def select_rows(ci_all, cd_all, width):
-        """Tiled forward selection with fixed [_QBLOCK, width] shapes."""
-        out_i = np.full((nm, max_deg), -1, np.int32)
-        out_d = np.full((nm, max_deg), np.inf, np.float32)
-        in_flight = []
-        for qs in range(0, nm, _QBLOCK):
-            qe = min(qs + _QBLOCK, nm)
-            ci = np.full((_QBLOCK, width), -1, np.int32)
-            cd = np.full((_QBLOCK, width), np.inf, np.float32)
-            ci[: qe - qs] = ci_all[qs:qe]
-            cd[: qe - qs] = cd_all[qs:qe]
-            si, sd = K["select_block"](
-                jnp.asarray(ci), jnp.asarray(cd), base_j,
-                metric=metric, max_deg=max_deg, heuristic=heuristic,
-            )
-            in_flight.append((qs, qe, si[:, :max_deg], sd[:, :max_deg]))
-        _drain_flight(in_flight, out_i, out_d)
-        return out_i, out_d
-
-    # phase 2: forward selection
     with _phase("select_fwd"):
-        fwd_i, fwd_d = select_rows(cand_i, cand_d, c)
-
-    # phase 3: reverse edges + merge (row-padded whole-layer dispatches)
-    def padded(a, fill):
-        out = np.full((rp,) + a.shape[1:], fill, a.dtype)
-        out[:nm] = a
-        return out
+        fwd_i, fwd_d = _select_tiles(ctx, cand_i, cand_d, max_deg, heuristic)
 
     with _phase("incoming_host"):
         inc_i, inc_d = _incoming_host(fwd_i, fwd_d, max_deg)
-    with _phase("merge"):
-        mrg_i, mrg_d = K["merge_dedupe"](
-            jnp.asarray(padded(fwd_i, -1)),
-            jnp.asarray(padded(fwd_d, np.float32(np.inf))),
-            jnp.asarray(padded(inc_i, -1)),
-            jnp.asarray(padded(inc_d, np.float32(np.inf))),
-        )
-        mrg_i = np.asarray(mrg_i)[:nm]
-        mrg_d = np.asarray(mrg_d)[:nm]
 
-    # phase 4: final prune with the selection rule over (forward u incoming)
+    mrg_i = np.full((nm, 2 * max_deg), -1, np.int32)
+    mrg_d = np.full((nm, 2 * max_deg), np.inf, np.float32)
+    with _phase("merge"):
+        _merge_tiles(fwd_i, fwd_d, inc_i, inc_d, mrg_i, mrg_d)
+
     with _phase("select_final"):
-        out, _ = select_rows(mrg_i, mrg_d, mrg_i.shape[1])
+        out, _ = _select_tiles(ctx, mrg_i, mrg_d, max_deg, heuristic)
     return out
 
 
@@ -681,53 +709,50 @@ def build(store: GraphStore, vectors: np.ndarray) -> list[int]:
         store.reserve(levels)
         slots = store.alloc_slots(vectors, levels.astype(np.int32))
     metric = int(store.metric)
-    heuristic = bool(store.params.neighbor_heuristic)
+    heuristic0 = bool(store.params.neighbor_heuristic)
     shuffle_rng = np.random.default_rng(store.seed ^ 0x5CA1AB1E)
-
-    # layer 0: all nodes, degree 2M
-    perm = shuffle_rng.permutation(n)  # round order must not follow data order
-    inv = np.empty(n, np.int64)
-    inv[perm] = np.arange(n)
-    adj_p = _build_layer(
-        vectors[perm], metric, store.m0, KNN_CANDIDATES, heuristic
-    )
-    # map member-space (shuffled) adjacency back to slot space
-    with _phase("map_layer0"):
-        adj_m = adj_p[inv]
-        store.neighbors0[:n] = np.where(
-            adj_m >= 0, perm[np.maximum(adj_m, 0)], -1
-        )
-
-    # upper layers: member subsets, degree M
     max_level = int(levels.max(initial=0))
-    for l in range(1, max_level + 1):
-        members = np.flatnonzero(levels >= l).astype(np.int64)
-        ls = store.layers[l - 1]
-        nm = len(members)
-        assert np.array_equal(ls.node_slot[:nm], members)
+
+    # ONE base order for every layer: level desc, random within level.
+    # Levels are i.i.d., so every prefix is a uniform random sample (the
+    # doubling-round long-range-edge mechanism is preserved), and layer
+    # l's members are exactly base rows [0, nm_l).
+    order = np.lexsort((shuffle_rng.random(n), -levels.astype(np.int64)))
+    ctx = _make_build_ctx(vectors[order], metric)
+
+    for l in range(max_level + 1):
+        nm = int(np.count_nonzero(levels >= l))
+        max_deg = store.m0 if l == 0 else store.m
+        # Upper layers are pure ROUTING structures (their edges never
+        # appear in results). Diversity selection is always used there: a
+        # nearest-M kNN layer fragments into cluster cliques and strands
+        # the greedy descent — which would misroute not just searches but
+        # every subsequent host-path insert. Layer 0 keeps the configured
+        # rule (reference: hnsw.go:560-583 simple selection).
+        heuristic = heuristic0 if l == 0 else True
+        members = order[:nm]  # member slots of this layer, base order
         if nm <= 1:
-            ls.nbrs[:nm] = -1
-            continue
-        mperm = shuffle_rng.permutation(nm)
-        minv = np.empty(nm, np.int64)
-        minv[mperm] = np.arange(nm)
-        # Upper layers are pure ROUTING structures (their edges never appear
-        # in results). Diversity selection is always used here: a nearest-M
-        # kNN layer fragments into cluster cliques and strands the greedy
-        # descent — which would misroute not just searches but every
-        # subsequent host-path insert. Layer 0 keeps the configured rule.
-        adj_p = _build_layer(
-            vectors[members[mperm]], metric, store.m,
-            min(KNN_CANDIDATES, 4 * store.m), heuristic=True,
+            adj = np.full((nm, max_deg), -1, np.int32)
+        elif nm <= HOST_LAYER_MAX:
+            adj = _build_layer_host(
+                vectors[members], metric, max_deg,
+                min(KNN_CANDIDATES, 4 * store.m), heuristic,
+            )
+        else:
+            adj = _layer_adj(ctx, nm, max_deg, heuristic)
+        mapped = np.where(adj >= 0, members[np.maximum(adj, 0)], -1).astype(
+            np.int32
         )
-        adj_m = adj_p[minv]  # member-order rows
-        mapped = np.where(
-            adj_m >= 0, members[mperm[np.maximum(adj_m, 0)]], -1
-        )
-        ls.nbrs[:nm] = mapped
+        with _phase("write_adj"):
+            if l == 0:
+                store.neighbors0[members] = mapped
+            else:
+                ls = store.layers[l - 1]
+                rows = ls.row_of[members]
+                ls.nbrs[rows] = mapped[:, : store.m]
 
     store.max_layer = max_level
-    store.entry_slot = int(np.argmax(levels)) if n else -1
+    store.entry_slot = int(order[0]) if n else -1
     store.invalidate_dirty()  # adjacency written in place: full upload next
     store.version += 1
     if _PROFILE:
@@ -743,7 +768,6 @@ def build(store: GraphStore, vectors: np.ndarray) -> list[int]:
         )
         _prof.clear()
     return [int(s) for s in slots]
-
 
 # appends at least this large take the batched path (below it, per-vector
 # dispatch overhead exceeds the batched phases' setup)

@@ -542,6 +542,8 @@ def knn_lane_topc(
     c: int,
     grid_tiles: int,  # tiles scanned; grid_tiles * LANES covers n_valid
     interpret: bool = False,
+    q_sq=None,  # [B] f32 — true squared norms of the queries (L2 only);
+    # lets device-sliced bf16 query blocks keep f32-exact finalization
 ):
     """Exact-ish top-c prefix neighbors for the bulk builder: the fused
     lane scan over the first grid_tiles * LANES base rows, self-excluded,
@@ -608,8 +610,9 @@ def knn_lane_topc(
     ci = jnp.take_along_axis(lane_i, sel, axis=1)
     # ranking-form -> reference finalized distances (cross-row comparable)
     if metric == _L2:
-        q_sq = jnp.sum(q32 * q32, axis=1, keepdims=True)
-        cd = jnp.sqrt(jnp.maximum(cd + q_sq, 0.0))
+        if q_sq is None:
+            q_sq = jnp.sum(q32 * q32, axis=1)
+        cd = jnp.sqrt(jnp.maximum(cd + q_sq[:, None], 0.0))
     elif metric == _COSINE:
         cd = 1.0 + cd  # -cos -> 1 - cos
     cd = jnp.where(ci < 0, jnp.inf, cd)
