@@ -211,16 +211,14 @@ def _beam_converged(cand_s, cand_d, expanded):
 
 def _ef_beam_layer0(
     dist_to, neighbors0, deleted, entry_slots, entry_dists, ef, max_steps,
-    expand=SEARCH_EXPAND, spill=0,
+    expand=SEARCH_EXPAND,
 ):
-    """Layer-0 ef-beam. Entries [B, E]; returns sorted (slots, dists, steps).
-
-    `spill > 0` adds ONE post-convergence expansion of the `spill` nearest
-    kept candidates with their expanded-flags reset: neighbors that were
-    displaced from a small-ef list re-enter at the final merge, recovering
-    most of a larger-ef beam's recall for the cost of a single fat step
-    (one [B, spill*2M] gather+distance+merge instead of ~ef/expand thin
-    steps)."""
+    """Layer-0 ef-beam. Entries [B, E]; returns sorted (slots, dists,
+    steps). (A post-convergence "spill" re-expansion was removed in round
+    3: a neighbor displaced from the ef list is by definition worse than
+    the converged ef-th candidate, so no post-pass over the kept
+    candidates' neighborhoods can change the top-k — measured exactly
+    recall-neutral at every operating point.)"""
     B, E = entry_slots.shape
     expand = min(expand, ef)
     pad = ef - E
@@ -253,14 +251,6 @@ def _ef_beam_layer0(
     cand_s, cand_d, expanded, steps = jax.lax.while_loop(
         cond, body, (cand_s, cand_d, expanded, jnp.int32(0))
     )
-    if spill > 0:
-        cand_s, cand_d, _ = _beam_step(
-            dist_to, deleted, cand_s, cand_d,
-            jnp.zeros((B, ef), bool),  # reset flags: re-expand the nearest
-            rows_of_slots=lambda s: s,
-            nbr_lookup=lambda rows: neighbors0[rows],
-            active=jnp.ones((B,), bool), expand=min(spill, ef),
-        )
     return jnp.where(jnp.isinf(cand_d), -1, cand_s), cand_d, steps
 
 
@@ -272,7 +262,7 @@ def _ef_beam_layer0(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "metric", "ef", "k", "max_steps", "expand", "spill",
+        "metric", "ef", "k", "max_steps", "expand",
         "use_pallas", "interpret",
     ),
 )
@@ -290,7 +280,6 @@ def _search_kernel_pivot(
     k: int,
     max_steps: int,
     expand: int = SEARCH_EXPAND,
-    spill: int = 0,
     use_pallas: bool = False,
     interpret: bool = False,
 ):
@@ -363,7 +352,7 @@ def _search_kernel_pivot(
 
     cand_s, cand_d, steps = _ef_beam_layer0(
         dist_to, neighbors0, deleted, cur[:, None], cur_d[:, None], ef,
-        max_steps, expand=expand, spill=spill,
+        max_steps, expand=expand,
     )
     out_d = _finalize(cand_d[:, :k], metric)
     out_s = cand_s[:, :k]
@@ -373,7 +362,7 @@ def _search_kernel_pivot(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("metric", "ef", "k", "max_steps", "expand", "spill"),
+    static_argnames=("metric", "ef", "k", "max_steps", "expand"),
 )
 def _search_kernel(
     queries,  # [B, D] f32
@@ -390,7 +379,6 @@ def _search_kernel(
     k: int,
     max_steps: int,
     expand: int = SEARCH_EXPAND,
-    spill: int = 0,
 ):
     B = queries.shape[0]
     cap = vectors.shape[0]
@@ -406,7 +394,7 @@ def _search_kernel(
 
     cand_s, cand_d, steps = _ef_beam_layer0(
         dist_to, neighbors0, deleted, cur[:, None], cur_d[:, None], ef,
-        max_steps, expand=expand, spill=spill,
+        max_steps, expand=expand,
     )
     out_d = _finalize(cand_d[:, :k], metric)
     out_s = cand_s[:, :k]
@@ -772,13 +760,12 @@ class DeviceIndex:
         max_steps: int | None = None,
         entry_mode: str = "pivot",  # "pivot" (MXU entry) | "descent" (reference)
         expand: int = SEARCH_EXPAND,
-        spill: int = 0,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Returns (slots [B, k] i64, dists [B, k] f32); -1/inf padding."""
         return self.search_collect(
             self.search_submit(
                 store, queries, k, ef, max_steps=max_steps,
-                entry_mode=entry_mode, expand=expand, spill=spill,
+                entry_mode=entry_mode, expand=expand,
             )
         )
 
@@ -791,7 +778,6 @@ class DeviceIndex:
         max_steps: int | None = None,
         entry_mode: str = "pivot",
         expand: int = SEARCH_EXPAND,
-        spill: int = 0,
     ):
         """Upload + dispatch WITHOUT fetching; pair with search_collect.
         Lets a serving loop overlap the next batch's upload/kernel with
@@ -840,7 +826,6 @@ class DeviceIndex:
                     k=k,
                     max_steps=max_steps,
                     expand=expand,
-                    spill=spill,
                     use_pallas=use_pallas,
                 )
             else:
@@ -859,7 +844,6 @@ class DeviceIndex:
                     k=k,
                     max_steps=max_steps,
                     expand=expand,
-                    spill=spill,
                 )
             in_flight.append((start, n, d, s))
         return (B, k, in_flight)

@@ -320,14 +320,23 @@ def _incoming_host(
     fwd_d: np.ndarray,
     max_deg: int,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Reverse edges capped at the nearest max_deg per target (host numpy).
+    """Reverse edges capped at the nearest max_deg per target (host).
 
     For every forward edge u->v, u becomes an incoming candidate of v.
     Capping incoming at the nearest max_deg per target is exact: an edge
     farther than max_deg nearer incoming edges can never survive the final
     prune. Runs on host: a global sort of a few-million-edge 1D array is
     ~1 s of numpy lexsort but minutes of bitonic passes on a TPU (device
-    sorts are efficient along the minor axis, not for one giant row)."""
+    sorts are efficient along the minor axis, not for one giant row).
+    The C++ counting-bucket capper (native/link_apply.cpp incoming_cap)
+    replaces the numpy packed-key argsort when available — O(E) vs
+    O(E log E), ~30x at 32M edges (the largest host phase of a 1M
+    build)."""
+    from scintirete_tpu.native.build import incoming_cap_native
+
+    native = incoming_cap_native(fwd_i, fwd_d, max_deg)
+    if native is not None:
+        return native
     nm, F = fwd_i.shape
     src = np.repeat(np.arange(nm, dtype=np.int32), F)
     dst = fwd_i.reshape(-1)
@@ -446,8 +455,6 @@ def _make_build_ctx(
         "sp_pad": sp_pad,
         "sp_base_j": sp_base_j,
         "sp_sq": sp_sq,
-        "sp_i": None,  # [n, ns] hub candidates, filled on the first scan
-        "sp_d": None,
         "ns": min(24, max(sparse - 1, 1)),
     }
 
@@ -465,121 +472,6 @@ def _grid_for(prefix: int, max_tiles: int) -> int:
     return small if prefix <= small * LANES else max_tiles
 
 
-def _scan_rounds(ctx: dict, nm: int, c: int) -> tuple[np.ndarray, np.ndarray]:
-    """Doubling-round exact candidates for base rows [0, nm): row i scans
-    the prefix containing its own round (early rows see a sparse sample ->
-    long-range edges, the mechanism that keeps the graph routable), plus
-    top-ns candidates among the _ROUND0 global hubs (computed once, at the
-    first/largest nm, and sliced for deeper layers — the hub rows are
-    members of EVERY device-built layer since nm > HOST_LAYER_MAX >=
-    _ROUND0). Query blocks are device-side slices of the shared base:
-    zero host->device query traffic (round 2 uploaded every layer's rows).
-    Returns (cand_i [nm, c+ns], cand_d), deduplicated, distance-ascending,
-    in base-row order."""
-    import jax.numpy as jnp
-
-    K = _kernels()
-    sparse = ctx["sparse"]
-    ns = ctx["ns"]
-    do_sparse = sparse < nm
-    want_sparse = do_sparse and ctx["sp_i"] is None
-    if want_sparse:
-        ctx["sp_i"] = np.full((ctx["n"], ns), -1, np.int32)
-        ctx["sp_d"] = np.full((ctx["n"], ns), np.inf, np.float32)
-
-    cand_i = np.full((nm, c), -1, np.int32)
-    cand_d = np.full((nm, c), np.inf, np.float32)
-    with _phase(f"scan_n{nm}"):
-        in_flight = []
-        sp_flight = []
-        start, prefix = 0, min(sparse, nm)
-        while start < nm:
-            stop = prefix
-            for qs in range(start, stop, _QBLOCK):
-                qe = min(qs + _QBLOCK, stop)
-                if qs + _QBLOCK <= ctx["npad"]:
-                    qb, qsq, si = K["slice_block"](
-                        ctx["base_j"], ctx["base_sq"], np.int32(qs),
-                        block=_QBLOCK,
-                    )
-                else:
-                    # unaligned tail tile of a tiny build (npad == 2048):
-                    # a device slice would clamp and misalign; upload the
-                    # rows in the SAME dtypes so the program is shared
-                    rows = ctx["rows_f32"][qs:qe]
-                    qb_h = np.zeros((_QBLOCK, rows.shape[1]), np.float32)
-                    qb_h[: qe - qs] = rows
-                    qb = jnp.asarray(qb_h, ctx["dtype"])
-                    qsq = jnp.asarray(np.sum(qb_h * qb_h, axis=1))
-                    si_h = np.full(_QBLOCK, -1, np.int32)
-                    si_h[: qe - qs] = np.arange(qs, qe, dtype=np.int32)
-                    si = jnp.asarray(si_h)
-                if ctx["use_fused"]:
-                    from scintirete_tpu.ops.pallas_scan import knn_lane_topc
-
-                    cd, ci = knn_lane_topc(
-                        qb, si, ctx["base_j"], ctx["base_sq"],
-                        jnp.int32(prefix), metric=ctx["metric"], c=c,
-                        grid_tiles=_grid_for(prefix, ctx["max_tiles"]),
-                        interpret=ctx["interpret"], q_sq=qsq,
-                    )
-                else:
-                    cd, ci = K["knn_block"](
-                        qb, si, ctx["base_j"], ctx["base_sq"],
-                        jnp.int32(prefix), metric=ctx["metric"], c=c,
-                        tile=ctx["tile"],
-                    )
-                in_flight.append((qs, qe, ci, cd))
-                if want_sparse:
-                    scd, sci = K["knn_block"](
-                        qb, si, ctx["sp_base_j"], ctx["sp_sq"],
-                        jnp.int32(sparse), metric=ctx["metric"], c=ns,
-                        tile=ctx["sp_pad"],
-                    )
-                    sp_flight.append((qs, qe, sci, scd))
-            start = stop
-            prefix = min(prefix * 2, nm)
-        _drain_flight(in_flight, cand_i, cand_d)
-        if sp_flight:
-            _drain_flight(sp_flight, ctx["sp_i"], ctx["sp_d"])
-
-    if not do_sparse:  # one round covered everything; nothing to add
-        return cand_i, cand_d
-
-    out_i = np.full((nm, c + ns), -1, np.int32)
-    out_d = np.full((nm, c + ns), np.inf, np.float32)
-    with _phase(f"merge_sparse_n{nm}"):
-        _merge_tiles(
-            cand_i, cand_d, ctx["sp_i"][:nm], ctx["sp_d"][:nm], out_i, out_d
-        )
-    return out_i, out_d
-
-
-def _merge_tiles(a_i, a_d, b_i, b_d, out_i, out_d) -> None:
-    """merge_dedupe over fixed [_QBLOCK, w] row tiles (round 2 padded whole
-    layers to a pow-2 row ladder — one program shape per layer size; fixed
-    tiles mean ONE program per width combination at any scale)."""
-    import jax.numpy as jnp
-
-    K = _kernels()
-    nm = len(a_i)
-    in_flight = []
-    for qs in range(0, nm, _QBLOCK):
-        qe = min(qs + _QBLOCK, nm)
-
-        def tile(a, fill):
-            t = np.full((_QBLOCK,) + a.shape[1:], fill, a.dtype)
-            t[: qe - qs] = a[qs:qe]
-            return jnp.asarray(t)
-
-        mi, md = K["merge_dedupe"](
-            tile(a_i, -1), tile(a_d, np.float32(np.inf)),
-            tile(b_i, -1), tile(b_d, np.float32(np.inf)),
-        )
-        in_flight.append((qs, qe, mi, md))
-    _drain_flight(in_flight, out_i, out_d)
-
-# layers at or below this size build on the host (numpy): a device build of
 # a tiny layer costs more in dispatch latency and one-off shape compiles
 # than the whole O(nm^2) host computation
 HOST_LAYER_MAX = 1024
@@ -651,53 +543,124 @@ def _build_layer_host(
     return out
 
 
-def _select_tiles(ctx, ci_all, cd_all, max_deg, heuristic):
-    """Batched neighbor selection over fixed [_QBLOCK, width] row tiles
-    against the shared base (reference semantics per row, select_block)."""
+def _query_tiles(ctx: dict, nm: int):
+    """Yield (qs, qe, prefix, qb, qsq, si): the doubling-round query tiles
+    for base rows [0, nm). Row i scans the prefix containing its own round
+    (early rows see a sparse sample -> long-range edges, the mechanism
+    that keeps the graph routable). Query blocks are device-side slices of
+    the shared base — zero host->device query traffic."""
     import jax.numpy as jnp
 
     K = _kernels()
-    nm, width = ci_all.shape
-    out_i = np.full((nm, max_deg), -1, np.int32)
-    out_d = np.full((nm, max_deg), np.inf, np.float32)
-    in_flight = []
-    for qs in range(0, nm, _QBLOCK):
-        qe = min(qs + _QBLOCK, nm)
-        ci = np.full((_QBLOCK, width), -1, np.int32)
-        cd = np.full((_QBLOCK, width), np.inf, np.float32)
-        ci[: qe - qs] = ci_all[qs:qe]
-        cd[: qe - qs] = cd_all[qs:qe]
-        si, sd = K["select_block"](
-            jnp.asarray(ci), jnp.asarray(cd), ctx["base_j"],
-            metric=ctx["metric"], max_deg=max_deg, heuristic=heuristic,
-        )
-        in_flight.append((qs, qe, si[:, :max_deg], sd[:, :max_deg]))
-    _drain_flight(in_flight, out_i, out_d)
-    return out_i, out_d
+    start, prefix = 0, min(ctx["sparse"], nm)
+    while start < nm:
+        stop = prefix
+        for qs in range(start, stop, _QBLOCK):
+            qe = min(qs + _QBLOCK, stop)
+            if qs + _QBLOCK <= ctx["npad"]:
+                qb, qsq, si = K["slice_block"](
+                    ctx["base_j"], ctx["base_sq"], np.int32(qs), block=_QBLOCK
+                )
+            else:
+                # unaligned tail tile of a tiny build (npad == 2048): a
+                # device slice would clamp and misalign; upload the rows
+                # in the SAME dtypes so the program is shared
+                rows = ctx["rows_f32"][qs:qe]
+                qb_h = np.zeros((_QBLOCK, rows.shape[1]), np.float32)
+                qb_h[: qe - qs] = rows
+                qb = jnp.asarray(qb_h, ctx["dtype"])
+                qsq = jnp.asarray(np.sum(qb_h * qb_h, axis=1))
+                si_h = np.full(_QBLOCK, -1, np.int32)
+                si_h[: qe - qs] = np.arange(qs, qe, dtype=np.int32)
+                si = jnp.asarray(si_h)
+            yield qs, qe, prefix, qb, qsq, si
+        start = stop
+        prefix = min(prefix * 2, nm)
 
 
 def _layer_adj(ctx, nm, max_deg, heuristic):
-    """Adjacency [nm, max_deg] for base rows [0, nm) (-1 padded): doubling-
-    round exact candidates -> forward selection -> reverse-edge cap ->
-    merge -> final prune (reference semantics per phase; module
-    docstring)."""
-    cand_i, cand_d = _scan_rounds(ctx, nm, min(KNN_CANDIDATES, nm - 1))
+    """Adjacency [nm, max_deg] for base rows [0, nm) (-1 padded).
 
-    with _phase("select_fwd"):
-        fwd_i, fwd_d = _select_tiles(ctx, cand_i, cand_d, max_deg, heuristic)
+    Two device passes of per-tile CHAINS (scan -> hub merge -> selection,
+    then merge-with-incoming -> final prune), with only the reverse-edge
+    cap on host between them. Round 2 materialized every intermediate
+    (candidates, merged pools, selections) on the host — ~4.7 GB of
+    tunnel traffic per 1M layer; chaining keeps intermediates on device
+    and moves ~6x less data: the forward selections down, the incoming
+    table up, the final adjacency down."""
+    import jax.numpy as jnp
 
+    K = _kernels()
+    c = min(KNN_CANDIDATES, nm - 1)
+    do_sparse = ctx["sparse"] < nm
+
+    # ---- pass 1: scan rounds -> merge hub candidates -> forward select
+    fwd_i = np.full((nm, max_deg), -1, np.int32)
+    fwd_d = np.full((nm, max_deg), np.inf, np.float32)
+    dev_fwd = []  # per-tile device selections, kept resident for pass 2
+    with _phase(f"fwd_n{nm}"):
+        for qs, qe, prefix, qb, qsq, si in _query_tiles(ctx, nm):
+            if ctx["use_fused"]:
+                from scintirete_tpu.ops.pallas_scan import knn_lane_topc
+
+                cd, ci = knn_lane_topc(
+                    qb, si, ctx["base_j"], ctx["base_sq"],
+                    jnp.int32(prefix), metric=ctx["metric"], c=c,
+                    grid_tiles=_grid_for(prefix, ctx["max_tiles"]),
+                    interpret=ctx["interpret"], q_sq=qsq,
+                )
+            else:
+                cd, ci = K["knn_block"](
+                    qb, si, ctx["base_j"], ctx["base_sq"],
+                    jnp.int32(prefix), metric=ctx["metric"], c=c,
+                    tile=ctx["tile"],
+                )
+            if do_sparse:
+                # long-range candidates from the _ROUND0 global hubs (hub
+                # rows are members of every device-built layer: nm >
+                # HOST_LAYER_MAX >= _ROUND0)
+                scd, sci = K["knn_block"](
+                    qb, si, ctx["sp_base_j"], ctx["sp_sq"],
+                    jnp.int32(ctx["sparse"]), metric=ctx["metric"],
+                    c=ctx["ns"], tile=ctx["sp_pad"],
+                )
+                ci, cd = K["merge_dedupe"](ci, cd, sci, scd)
+            si_, sd_ = K["select_block"](
+                ci, cd, ctx["base_j"],
+                metric=ctx["metric"], max_deg=max_deg, heuristic=heuristic,
+            )
+            dev_fwd.append((qs, qe, si_, sd_))
+        _drain_flight(dev_fwd, fwd_i, fwd_d)
+
+    # ---- reverse-edge cap (C++ / numpy)
     with _phase("incoming_host"):
         inc_i, inc_d = _incoming_host(fwd_i, fwd_d, max_deg)
 
-    mrg_i = np.full((nm, 2 * max_deg), -1, np.int32)
-    mrg_d = np.full((nm, 2 * max_deg), np.inf, np.float32)
-    with _phase("merge"):
-        _merge_tiles(fwd_i, fwd_d, inc_i, inc_d, mrg_i, mrg_d)
-
-    with _phase("select_final"):
-        out, _ = _select_tiles(ctx, mrg_i, mrg_d, max_deg, heuristic)
+    # ---- pass 2: merge device-resident forward with incoming -> final
+    out = np.full((nm, max_deg), -1, np.int32)
+    out_d = np.full((nm, max_deg), np.inf, np.float32)
+    with _phase(f"final_n{nm}"):
+        # per-tile incoming uploads: device_put is async, so the tile
+        # transfers pipeline with the merge/select chain (a single padded
+        # whole-table upload would need a shape-keyed device slice program
+        # per layer size — the variant class this refactor removes)
+        in_flight = []
+        for qs, qe, si_, sd_ in dev_fwd:
+            ii_h = np.full((_QBLOCK, max_deg), -1, np.int32)
+            dd_h = np.full((_QBLOCK, max_deg), np.inf, np.float32)
+            lo, hi = qs, min(qs + _QBLOCK, nm)
+            ii_h[: hi - lo] = inc_i[lo:hi]
+            dd_h[: hi - lo] = inc_d[lo:hi]
+            mi, md = K["merge_dedupe"](
+                si_, sd_, jnp.asarray(ii_h), jnp.asarray(dd_h)
+            )
+            fi, fd = K["select_block"](
+                mi, md, ctx["base_j"],
+                metric=ctx["metric"], max_deg=max_deg, heuristic=heuristic,
+            )
+            in_flight.append((qs, qe, fi, fd))
+        _drain_flight(in_flight, out, out_d)
     return out
-
 
 def build(store: GraphStore, vectors: np.ndarray) -> list[int]:
     """From-scratch bulk build. The store must be empty."""

@@ -57,6 +57,7 @@ def load_native() -> Optional[ctypes.CDLL]:
                 os.replace(tmp, so_path)
             lib = ctypes.CDLL(so_path)
             lib.apply_chunk.restype = ctypes.c_int32
+            lib.incoming_cap.restype = ctypes.c_int32
             _CACHED = lib
             return lib
         except (OSError, subprocess.SubprocessError):
@@ -146,3 +147,30 @@ def apply_chunk_native(
     return [
         (int(dirty[i, 0]), int(dirty[i, 1])) for i in range(int(n_dirty.value))
     ]
+
+
+def incoming_cap_native(
+    fwd_i, fwd_d, max_deg: int
+) -> Optional[tuple]:
+    """Reverse-edge cap in C++ (see link_apply.cpp incoming_cap). Returns
+    (inc_i, inc_d) or None when the native library is unavailable."""
+    import numpy as np
+
+    lib = load_native()
+    if lib is None:
+        return None
+    fwd_i = np.ascontiguousarray(fwd_i, np.int32)
+    fwd_d = np.ascontiguousarray(fwd_d, np.float32)
+    nm, F = fwd_i.shape
+    inc_i = np.full((nm, max_deg), -1, np.int32)
+    inc_d = np.full((nm, max_deg), np.inf, np.float32)
+    lib.incoming_cap(
+        _ptr(fwd_i, ctypes.c_int32),
+        _ptr(fwd_d, ctypes.c_float),
+        ctypes.c_int64(nm),
+        ctypes.c_int32(F),
+        ctypes.c_int32(max_deg),
+        _ptr(inc_i, ctypes.c_int32),
+        _ptr(inc_d, ctypes.c_float),
+    )
+    return inc_i, inc_d

@@ -360,64 +360,6 @@ class TestBfloat16Storage:
         assert hits / total >= 0.85  # small bf16 rounding loss allowed
 
 
-class TestSpillRerank:
-    """Post-convergence spill expansion: recall(ef, spill) must dominate
-    recall(ef, 0) and approach recall(big ef, 0), with clean output."""
-
-    def test_spill_improves_small_ef(self, rng):
-        n, dim, k = 3000, 16, 10
-        vecs = rng.standard_normal((n, dim)).astype(np.float32)
-        idx = HNSWIndex(
-            dim=dim,
-            params=HNSWParams(m=8, ef_construction=80, ef_search=60, seed=5),
-            metric=DistanceMetric.L2,
-            use_device=True,
-        )
-        idx.bulk_insert(list(range(1, n + 1)), vecs)
-        queries = (vecs[rng.integers(0, n, 64)]
-                   + 0.1 * rng.standard_normal((64, dim))).astype(np.float32)
-        from scintirete_tpu.ops.distance import distance_np
-
-        d = distance_np(queries, vecs, DistanceMetric.L2)
-        want = np.argsort(d, axis=1, kind="stable")[:, :k]
-        dev = idx._get_device()
-
-        def recall(ef, spill):
-            s, _ = dev.search(idx.store, queries, k, ef, spill=spill)
-            hits = 0
-            for b in range(64):
-                got = set(int(x) for x in s[b] if x >= 0)
-                hits += len(got & set(want[b].tolist()))
-            return hits / (64 * k)
-
-        r_small = recall(12, 0)
-        r_spill = recall(12, 12)
-        r_big = recall(48, 0)
-        assert r_spill >= r_small
-        assert r_spill >= r_big - 0.05, (
-            f"spill {r_spill:.3f} should approach ef=48 {r_big:.3f}"
-        )
-
-    def test_spill_output_clean(self, rng):
-        n, dim, k = 800, 12, 20
-        vecs = rng.standard_normal((n, dim)).astype(np.float32)
-        idx = HNSWIndex(
-            dim=dim,
-            params=HNSWParams(m=8, ef_construction=60, ef_search=40, seed=9),
-            metric=DistanceMetric.COSINE,
-            use_device=True,
-        )
-        idx.bulk_insert(list(range(1, n + 1)), vecs)
-        dev = idx._get_device()
-        queries = rng.standard_normal((8, dim)).astype(np.float32)
-        s, d = dev.search(idx.store, queries, k, 24, spill=16)
-        for b in range(8):
-            row = s[b][s[b] >= 0]
-            assert len(set(row.tolist())) == len(row), "duplicate results"
-            dd = d[b][: len(row)]
-            assert (np.diff(dd) >= -1e-6).all(), "results not sorted"
-
-
 class TestPivotEntry:
     """MXU pivot entry vs the reference-style hierarchical descent."""
 

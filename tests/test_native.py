@@ -90,3 +90,34 @@ class TestNative:
         np.testing.assert_array_equal(
             np.asarray(a["up_rows_flat"]), np.asarray(b["up_rows_flat"])
         )
+
+
+class TestIncomingCap:
+    def test_matches_numpy_capper(self):
+        """C++ counting-bucket reverse-edge cap == the numpy packed-key
+        argsort implementation (order and values)."""
+        from scintirete_tpu.index import knn_build
+
+        rng = np.random.default_rng(7)
+        nm, F, max_deg = 500, 12, 8
+        fwd_i = rng.integers(-1, nm, (nm, F)).astype(np.int32)
+        fwd_d = rng.random((nm, F)).astype(np.float32)
+        native = native_build.incoming_cap_native(fwd_i, fwd_d, max_deg)
+        if native is None:
+            pytest.skip("native library unavailable")
+        old = native_build._FAILED
+        native_build._FAILED = True  # numpy reference path
+        try:
+            ref = knn_build._incoming_host(fwd_i, fwd_d, max_deg)
+        finally:
+            native_build._FAILED = old
+        np.testing.assert_array_equal(native[0], ref[0])
+        np.testing.assert_allclose(native[1], ref[1])
+
+    def test_empty_and_degenerate(self):
+        out = native_build.incoming_cap_native(
+            np.full((4, 3), -1, np.int32), np.zeros((4, 3), np.float32), 2
+        )
+        if out is None:
+            pytest.skip("native library unavailable")
+        assert (out[0] == -1).all() and np.isinf(out[1]).all()

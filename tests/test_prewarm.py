@@ -1,0 +1,63 @@
+"""Prewarm manifest pinning: after warm_build(), a real bulk build must
+compile NOTHING new — this is what makes a fresh server/bench process run
+its first build at steady-state speed over the tunneled TPU. If the
+builder grows a new program variant, this test fails and the manifest in
+utils/prewarm.py must be extended."""
+
+import logging
+
+import numpy as np
+import pytest
+
+from scintirete_tpu.index import knn_build
+from scintirete_tpu.index.store import GraphStore
+from scintirete_tpu.types import DistanceMetric, HNSWParams
+from scintirete_tpu.utils import prewarm
+
+
+class _Capture(logging.Handler):
+    def __init__(self):
+        super().__init__(level=logging.DEBUG)
+        self.messages = []
+
+    def emit(self, record):
+        self.messages.append(record.getMessage())
+
+
+@pytest.mark.parametrize("heuristic", [True, False])
+def test_build_compiles_nothing_after_warm(heuristic):
+    import jax
+
+    n, dim, m = 4096, 32, 16
+    metric = int(DistanceMetric.COSINE)
+    prewarm.warm_build(n, dim, metric, m=m, heuristic=heuristic, threads=4)
+
+    cap = _Capture()
+    loggers = [
+        logging.getLogger("jax._src.interpreters.pxla"),
+        logging.getLogger("jax._src.dispatch"),
+    ]
+    jax.config.update("jax_log_compiles", True)
+    for lg in loggers:
+        lg.addHandler(cap)
+    try:
+        store = GraphStore(
+            dim,
+            HNSWParams(m=m, seed=7, neighbor_heuristic=heuristic),
+            DistanceMetric.COSINE,
+        )
+        rng = np.random.default_rng(3)
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        knn_build.build(store, vecs)
+    finally:
+        jax.config.update("jax_log_compiles", False)
+        for lg in loggers:
+            lg.removeHandler(cap)
+
+    compiles = [m_ for m_ in cap.messages if m_.startswith("Compiling ")]
+    assert not compiles, compiles
+
+    # the built graph is sane
+    assert store.count == n
+    deg = (store.neighbors0[:n] >= 0).sum(axis=1)
+    assert deg.mean() > 4
