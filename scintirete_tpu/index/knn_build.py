@@ -389,6 +389,12 @@ def _scan_dtype():
     return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
 
+def _interpret_mode() -> bool:
+    """SCNT_BUILD_INTERPRET=1 runs the fused build path in Pallas
+    interpret mode — lets the CPU suite exercise the lane-kernel logic."""
+    return os.environ.get("SCNT_BUILD_INTERPRET") == "1"
+
+
 def _make_build_ctx(
     vectors: np.ndarray,  # [n, D] f32 in BASE (level-desc) order
     metric: int,
@@ -421,7 +427,7 @@ def _make_build_ctx(
         ).astype(np.float32)
 
     dtype = _scan_dtype()
-    interp = os.environ.get("SCNT_BUILD_INTERPRET") == "1"
+    interp = _interpret_mode()
     npad = _pad_pow4(n, minimum=max(_ROUND0 * 2, 2048))
     use_fused = (
         (jax.default_backend() == "tpu" or interp)

@@ -11,9 +11,14 @@ bench measured ~6 minutes of exactly this inside its first 100k build
 steady-state speed from the first call. bench.py warms per scale before
 timing; a server can warm at startup for its collections' capacities.
 
-The manifest mirrors the call sites in index/knn_build.py; the pinning
-test (tests/test_prewarm.py) builds after warming and asserts the build
-compiles nothing new, so drift between the two shows up in CI.
+The manifest CHAINS its dummy calls through the same producer ops as the
+real build (slice_block -> scan -> merge -> select -> packed fetch): jit
+cache keys include argument layout/lineage, so feeding a kernel from
+`jnp.zeros` warms a DIFFERENT program than feeding it from the upstream
+kernel's output (measured: two extra in-build lane compiles before this
+was chained). The pinning test (tests/test_prewarm.py) builds after
+warming and asserts the build compiles nothing new, so drift between
+manifest and builder shows up in CI.
 """
 
 from __future__ import annotations
@@ -32,7 +37,7 @@ def build_manifest(
     heuristic: bool = True,
 ) -> list:
     """Zero-arg callables covering every device program of a bulk build at
-    this scale (shape-keyed: values are dummy zeros, shapes/dtypes real)."""
+    this scale (shape/lineage-keyed: values are dummy zeros)."""
     import jax
     import jax.numpy as jnp
 
@@ -42,8 +47,9 @@ def build_manifest(
     K = kb._kernels()
     dtype = kb._scan_dtype()
     npad = kb._pad_pow4(n, minimum=max(kb._ROUND0 * 2, 2048))
+    interp = kb._interpret_mode()
     fused = (
-        jax.default_backend() == "tpu"
+        (jax.default_backend() == "tpu" or interp)
         and npad % LANES == 0
         and dtype == jnp.bfloat16
     )
@@ -56,84 +62,75 @@ def build_manifest(
     base_sq = jnp.zeros((npad,), jnp.float32)
     sp = jnp.zeros((kb._ROUND0 * 2, dim), dtype)
     sp_sq = jnp.zeros((kb._ROUND0 * 2,), jnp.float32)
-    qb = jnp.zeros((B, dim), dtype)
-    qsq = jnp.zeros((B,), jnp.float32)
-    si = jnp.zeros((B,), jnp.int32)
 
     def done(x):
         jax.block_until_ready(x)
+        return x
 
-    jobs = [
-        lambda: done(
-            K["slice_block"](base, base_sq, np.int32(0), block=B)
-        ),
-        # hub (long-range) candidate scan
-        lambda: done(
-            K["knn_block"](
-                qb, si, sp, sp_sq, jnp.int32(1), metric=metric, c=ns,
-                tile=kb._ROUND0 * 2,
-            )
-        ),
-    ]
+    # producer chain shared by every job (the build's tile dataflow)
+    qb, qsq, si = done(
+        K["slice_block"](base, base_sq, np.int32(0), block=B)
+    )
+    # hub (long-range) candidate scan
+    scd, sci = done(
+        K["knn_block"](
+            qb, si, sp, sp_sq, jnp.int32(1), metric=metric, c=ns,
+            tile=kb._ROUND0 * 2,
+        )
+    )
+
+    grids = []
     if fused:
         mt = npad // LANES
-        for g in sorted({mt, max(mt // 16, 1)}):
-            jobs.append(
-                lambda g=g: done(
-                    knn_lane_topc(
-                        qb, si, base, base_sq, jnp.int32(1), metric=metric,
-                        c=c, grid_tiles=g, q_sq=qsq,
-                    )
-                )
+        grids = sorted({mt, max(mt // 16, 1)})
+
+    def scan(grid=None):
+        if grid is None:
+            return K["knn_block"](
+                qb, si, base, base_sq, jnp.int32(1), metric=metric, c=c,
+                tile=min(kb._TILE, npad),
             )
-    else:
-        jobs.append(
-            lambda: done(
-                K["knn_block"](
-                    qb, si, base, base_sq, jnp.int32(1), metric=metric,
-                    c=c, tile=min(kb._TILE, npad),
-                )
-            )
+        return knn_lane_topc(
+            qb, si, base, base_sq, jnp.int32(1), metric=metric, c=c,
+            grid_tiles=grid, interpret=interp, q_sq=qsq,
         )
 
-    def pair(w):
-        return (
-            jnp.zeros((B, w), jnp.int32),
-            jnp.zeros((B, w), jnp.float32),
-        )
-
-    # merge widths: (scan c | hub ns), then (fwd deg | incoming deg)
-    merge_widths = {(c, ns), (m0, m0), (m, m)}
-    for w1, w2 in sorted(merge_widths):
-        a_i, a_d = pair(w1)
-        b_i, b_d = pair(w2)
-        jobs.append(
-            lambda a=(a_i, a_d, b_i, b_d): done(K["merge_dedupe"](*a))
-        )
-    # selection: merged-candidate widths x (layer0 rule, upper-layer rule)
-    sel_combos = {
-        (c + ns, m0, heuristic),
-        (c + ns, m, True),
-        (2 * m0, m0, heuristic),
-        (2 * m, m, True),
-    }
-    for width, deg, h in sorted(sel_combos):
-        ci, cd = pair(width)
-        jobs.append(
-            lambda ci=ci, cd=cd, deg=deg, h=h: done(
-                K["select_block"](
-                    ci, cd, base, metric=metric, max_deg=deg, heuristic=h
-                )
+    def chain(grid, deg, h):
+        """One full tile chain: scan -> hub merge -> select -> incoming
+        merge -> final select, mirroring _layer_adj."""
+        cd, ci = done(scan(grid))
+        mi, md = done(K["merge_dedupe"](ci, cd, sci, scd))
+        si_, sd_ = done(
+            K["select_block"](
+                mi, md, base, metric=metric, max_deg=deg, heuristic=h
             )
         )
-    # packed-fetch concats: arity ladder x result widths
-    from scintirete_tpu.index.device import _fetch_packed
+        ii = jnp.asarray(np.full((B, deg), -1, np.int32))
+        dd = jnp.asarray(np.full((B, deg), np.inf, np.float32))
+        mi2, md2 = done(K["merge_dedupe"](si_, sd_, ii, dd))
+        fi, fd = done(
+            K["select_block"](
+                mi2, md2, base, metric=metric, max_deg=deg, heuristic=h
+            )
+        )
+        # packed-fetch concats over the fetched widths, all arities
+        from scintirete_tpu.index.device import _fetch_packed
 
-    for arity in (4, 16, 64):
-        for w in sorted({m0, m}):
-            ds = [jnp.zeros((B, w), jnp.float32)] * arity
-            ss = [jnp.zeros((B, w), jnp.int32)] * arity
-            jobs.append(lambda ds=ds, ss=ss: _fetch_packed(ds, ss))
+        for arity in (4, 16, 64):
+            _fetch_packed([fd] * arity, [fi] * arity)
+
+    jobs = []
+    # layer-0 rule and upper-layer rule, each through the full chain; the
+    # extra grid variants only need the scan program itself
+    layer_rules = sorted({(m0, heuristic), (m, True)})
+    first = True
+    for deg, h in layer_rules:
+        g0 = grids[0] if grids else None
+        jobs.append(lambda g0=g0, deg=deg, h=h: chain(g0, deg, h))
+        if first:
+            for g in grids[1:]:
+                jobs.append(lambda g=g: done(scan(g)))
+            first = False
     return jobs
 
 
