@@ -273,8 +273,12 @@ def run_scale(n, rng):
 
 def main() -> None:
     from scintirete_tpu.utils import enable_compilation_cache
+    from scintirete_tpu.utils import prewarm as _pw
 
     enable_compilation_cache()
+    # backend init + first-transfer channel setup (18-77 s over the
+    # tunnel) start NOW, overlapping dataset generation below
+    _pw.warm_runtime_async()
 
     import jax
 

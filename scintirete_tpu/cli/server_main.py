@@ -67,6 +67,14 @@ def main(argv=None) -> int:
     from scintirete_tpu.server.http_server import HttpGateway
     from scintirete_tpu.server.service import ScintireteService
 
+    if not args.no_device:
+        # pay TPU backend init + the first-transfer channel setup while
+        # recovery replays the AOF/RDB (it is 18-77 s over a tunneled
+        # TPU and would otherwise land inside the first client request)
+        from scintirete_tpu.utils import prewarm
+
+        prewarm.warm_runtime_async()
+
     service = ScintireteService(
         cfg,
         logger=logger,
