@@ -23,6 +23,7 @@ scatter otherwise).
 from __future__ import annotations
 
 import dataclasses
+import os
 import threading
 from typing import Any, Optional, Sequence
 
@@ -39,8 +40,9 @@ from scintirete_tpu.utils.rwlock import RWLock
 _MIN_CAP = 256
 # capacity at/above which the fused Pallas lane scan (and its int8 first
 # pass) beats the XLA two-pass bf16 scan on TPU (measured crossover between
-# 100k and 1M on one v5e)
-_FUSED_MIN_CAP = 1 << 18
+# 100k and 1M on one v5e; re-measured below 128k after the packed-key
+# kernel rework — SCNT_FUSED_MIN_CAP overrides for profiling)
+_FUSED_MIN_CAP = int(os.environ.get("SCNT_FUSED_MIN_CAP", 1 << 18))
 
 
 def _quant8(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -258,17 +260,9 @@ class FlatIndex:
             return self._assemble(slots_b, dists_b)
 
     def _assemble(self, slots_b, dists_b):
-        ids_b = self.slot_to_id[np.maximum(slots_b, 0)].tolist()
-        valid_b = (slots_b >= 0).tolist()
-        dists_l = dists_b.tolist()
-        return [
-            [
-                (vid, dist)
-                for vid, dist, ok in zip(id_row, dist_row, ok_row)
-                if ok
-            ]
-            for id_row, dist_row, ok_row in zip(ids_b, dists_l, valid_b)
-        ]
+        from scintirete_tpu.index.results import assemble_results
+
+        return assemble_results(self.slot_to_id, slots_b, dists_b)
 
     # ----- pipelined serving -----
     #
@@ -489,7 +483,7 @@ class FlatIndex:
                 width=max(4 * k, 64),
                 base_scale=a.get("scan_scale"),
             )
-            return (B, k, [(0, B, d, s)])
+            return self._pack_payload(B, k, [(0, B, d, s)])
         # an int8 scan copy is only usable by the fused kernel; elsewhere
         # fall back to the plain f32 scan
         scan8 = "scan" in a and a["scan"].dtype == jnp.int8
@@ -524,24 +518,36 @@ class FlatIndex:
                     recall_target=self.RECALL_TARGET,
                 )
             in_flight.append((start, n, d, s))
-        return (B, k, in_flight)
+        return self._pack_payload(B, k, in_flight)
+
+    @staticmethod
+    def _pack_payload(B, k, in_flight):
+        from scintirete_tpu.index.device import _pack_deferred
+
+        # pack at SUBMIT time: the concat program lands in the device queue
+        # right behind the scan kernels, so a depth-2 pipelined collect is
+        # a pure device->host transfer (packing at collect time would queue
+        # it behind the NEXT pass's kernel)
+        packed = _pack_deferred(
+            [d for _, _, d, _ in in_flight], [s for _, _, _, s in in_flight]
+        )
+        metas = [(start, n, d.shape[0]) for start, n, d, _ in in_flight]
+        return (B, k, metas, packed)
 
     def _device_collect(self, payload):
-        from scintirete_tpu.index.device import _fetch_packed
+        from scintirete_tpu.index.device import _unpack_host
 
-        B, k, in_flight = payload
+        B, k, metas, packed = payload
         out_slots = np.empty((B, k), np.int64)
         out_dists = np.empty((B, k), np.float32)
         # ONE device->host fetch for the whole batch: per-sub-batch fetches
         # each pay a full transfer round trip (~20 ms over a tunneled TPU)
-        d_host, s_host = _fetch_packed(
-            [d for _, _, d, _ in in_flight], [s for _, _, _, s in in_flight]
-        )
+        d_host, s_host = _unpack_host(packed)
         row = 0
-        for start, n, d, s in in_flight:
+        for start, n, rows in metas:
             out_dists[start : start + n] = d_host[row : row + n]
             out_slots[start : start + n] = s_host[row : row + n]
-            row += d.shape[0]
+            row += rows
         return out_slots, out_dists
 
     # ----- state export/import (RDB restore without rebuild) -----

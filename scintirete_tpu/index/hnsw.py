@@ -327,17 +327,9 @@ class HNSWIndex:
             return self._assemble(slots_b, dists_b)
 
     def _assemble(self, slots_b, dists_b):
-        ids_b = self.slot_to_id[np.maximum(slots_b, 0)].tolist()
-        valid_b = (slots_b >= 0).tolist()
-        dists_l = dists_b.tolist()
-        return [
-            [
-                (ids, dist)
-                for ids, dist, ok in zip(id_row, dist_row, valid_row)
-                if ok
-            ]
-            for id_row, dist_row, valid_row in zip(ids_b, dists_l, valid_b)
-        ]
+        from scintirete_tpu.index.results import assemble_results
+
+        return assemble_results(self.slot_to_id, slots_b, dists_b)
 
     def search_submit(self, queries: np.ndarray, params: SearchParams):
         """Dispatch a batched search (upload + kernels) without fetching;
