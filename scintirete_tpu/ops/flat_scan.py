@@ -110,7 +110,7 @@ def flat_topk(
     static_argnames=("metric", "k", "width", "interpret"),
 )
 def flat_topk_fused(
-    queries: jax.Array,  # [B, D] f32
+    queries: jax.Array,  # [B, D] f32 (or f16 — cast up; halves upload bytes)
     scan_base: jax.Array,  # [N, D] bf16 or int8, pre-normalized for cosine
     exact_base: jax.Array,  # [N, D] f32 — rerank source
     valid: jax.Array,  # [N] bool — False for deleted/empty slots

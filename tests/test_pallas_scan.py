@@ -151,6 +151,41 @@ class TestFusedTopK:
             )
 
     @pytest.mark.parametrize("metric", [L2, COS, IP])
+    def test_f16_query_upload(self, rng, metric):
+        """SCNT_QUERY_F16 contract: f16-uploaded queries keep full recall
+        and land within ~1e-3 relative of the exact f32 distances (the
+        deviation is query rounding only — the kernel reranks in f32)."""
+        from scintirete_tpu.ops.distance import distance_np
+
+        B, D, N, k = 16, 24, 2 * LANES, 10
+        q = rng.standard_normal((B, D)).astype(np.float32)
+        base = rng.standard_normal((N, D)).astype(np.float32)
+        valid = np.ones(N, bool)
+        if metric == COS:
+            scan = base / np.linalg.norm(base, axis=1, keepdims=True)
+            scan_sq = np.ones(N, np.float32)
+        else:
+            scan = base
+            scan_sq = np.sum(base * base, axis=1).astype(np.float32)
+
+        d, s = flat_topk_fused(
+            jnp.asarray(q, jnp.float16), jnp.asarray(scan, jnp.bfloat16),
+            jnp.asarray(base), jnp.asarray(valid), metric, k,
+            jnp.asarray(scan_sq), interpret=True,
+        )
+        d, s = np.asarray(d), np.asarray(s)
+        ref = distance_np(q, base, DistanceMetric(metric)).astype(np.float32)
+        true_i = np.argsort(ref, axis=1, kind="stable")[:, :k]
+        hits = sum(
+            len(set(s[b].tolist()) & set(true_i[b].tolist())) for b in range(B)
+        )
+        assert hits / (B * k) >= 0.95
+        for b in range(B):
+            np.testing.assert_allclose(
+                d[b], ref[b, s[b]], rtol=2e-3, atol=2e-3
+            )
+
+    @pytest.mark.parametrize("metric", [L2, COS, IP])
     def test_knn_lane_topc_vs_numpy(self, rng, metric):
         """Builder kNN scan: prefix masking, self-exclusion, true distances."""
         from scintirete_tpu.ops.distance import distance_np
