@@ -45,6 +45,7 @@ rows they modify, not to the collection size.
 from __future__ import annotations
 
 import functools
+import os
 import threading
 from typing import Any, Optional
 
@@ -810,6 +811,13 @@ class DeviceIndex:
         # materialize — sub-batches pipeline through the device instead of
         # paying a full dispatch+transfer round trip each
         in_flight = []
+        # f16 query upload (same contract as index/flat.py _QUERY_F16):
+        # kernels cast up to f32, so only query rounding deviates
+        up_dtype = (
+            jnp.float16
+            if os.environ.get("SCNT_QUERY_F16", "0") == "1"
+            else jnp.float32
+        )
         for start in range(0, B, self.max_batch):
             chunk = queries[start : start + self.max_batch]
             n = chunk.shape[0]
@@ -828,7 +836,7 @@ class DeviceIndex:
                     and a["pivots"].shape[0] % 512 == 0
                 )
                 d, s, _ = _search_kernel_pivot(
-                    jnp.asarray(chunk, jnp.float32),
+                    jnp.asarray(chunk, up_dtype),
                     a["vectors"],
                     a["sq_norms"],
                     a["deleted"],
@@ -845,7 +853,7 @@ class DeviceIndex:
                 )
             else:
                 d, s, _ = _search_kernel(
-                    jnp.asarray(chunk, jnp.float32),
+                    jnp.asarray(chunk, up_dtype),
                     a["vectors"],
                     a["sq_norms"],
                     a["deleted"],
