@@ -242,3 +242,47 @@ class TestFastScanRerank:
         idx.search_batch(rng.standard_normal((2, 8)).astype(np.float32),
                          SearchParams(top_k=2))
         assert "scan" not in idx._dev  # no redundant bf16 copy
+
+
+class TestPipelinedServing:
+    """search_batch_pipelined must return exactly what sequential
+    search_batch returns — it only overlaps upload/kernel/fetch across
+    batches (the payload format is pack-at-submit; see index/device.py
+    _pack_deferred)."""
+
+    @pytest.mark.parametrize("depth", [2, 3])
+    def test_flat_pipelined_matches_sequential(self, rng, depth):
+        base = rng.standard_normal((700, 16)).astype(np.float32)
+        idx = FlatIndex(dim=16, metric=DistanceMetric.COSINE, use_device=True,
+                        search_batch_size=64)
+        idx.bulk_insert(list(range(1, 701)), base)
+        for vid in (5, 100, 699):  # deletions: -1 slots flow through packing
+            idx.delete(vid)
+        params = SearchParams(top_k=7)
+        batches = [
+            rng.standard_normal((48, 16)).astype(np.float32) for _ in range(5)
+        ]
+        want = [idx.search_batch(q, params) for q in batches]
+        got = idx.search_batch_pipelined(batches, params, depth=depth)
+        assert got == want
+
+    @pytest.mark.parametrize("depth", [2, 3])
+    def test_hnsw_pipelined_matches_sequential(self, rng, depth):
+        from scintirete_tpu.index.hnsw import HNSWIndex
+
+        base = rng.standard_normal((400, 12)).astype(np.float32)
+        idx = HNSWIndex(
+            dim=12,
+            params=HNSWParams(m=8, ef_construction=60, ef_search=40, seed=3),
+            metric=DistanceMetric.L2,
+            use_device=True,
+            search_batch_size=64,
+        )
+        idx.bulk_insert(list(range(1, 401)), base)
+        params = SearchParams(top_k=5, ef_search=40)
+        batches = [
+            rng.standard_normal((40, 12)).astype(np.float32) for _ in range(4)
+        ]
+        want = [idx.search_batch(q, params) for q in batches]
+        got = idx.search_batch_pipelined(batches, params, depth=depth)
+        assert got == want
