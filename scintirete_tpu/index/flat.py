@@ -43,13 +43,15 @@ _MIN_CAP = 256
 # 100k and 1M on one v5e; re-measured below 128k after the packed-key
 # kernel rework — SCNT_FUSED_MIN_CAP overrides for profiling)
 _FUSED_MIN_CAP = int(os.environ.get("SCNT_FUSED_MIN_CAP", 1 << 18))
-# upload queries as f16 instead of f32: halves the host->device bytes —
-# the dominant serving cost over a tunneled TPU (~160 ms of a ~310 ms
-# pass at B=16k x 128-d) — at the price of ~1e-3-relative rounding on
-# returned distances (the on-device rerank casts back to f32, so rank
-# order is still decided at f32-dot precision of the ROUNDED query).
-# Opt-in: exact reference-value distances stay the default contract.
-_QUERY_F16 = os.environ.get("SCNT_QUERY_F16", "0") == "1"
+def _query_f16() -> bool:
+    """Upload queries as f16 instead of f32: halves the host->device
+    bytes — the dominant serving cost over a tunneled TPU (~160 ms of a
+    ~310 ms pass at B=16k x 128-d) — at the price of ~1e-3-relative
+    rounding on returned distances (the on-device rerank casts back to
+    f32, so rank order is still decided at f32-dot precision of the
+    ROUNDED query). Opt-in (read per call, so serving processes can
+    flip it): exact reference-value distances stay the default."""
+    return os.environ.get("SCNT_QUERY_F16", "0") == "1"
 
 
 def _quant8(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -479,7 +481,7 @@ class FlatIndex:
                 chunk = np.concatenate(
                     [queries, np.zeros((padded - B, self.dim), np.float32)]
                 )
-            up_dtype = jnp.float16 if _QUERY_F16 else jnp.float32
+            up_dtype = jnp.float16 if _query_f16() else jnp.float32
             d, s = flat_topk_fused(
                 jnp.asarray(chunk, up_dtype),
                 a["scan"],

@@ -112,6 +112,30 @@ def main():
         hits = sum(1 for i, row in enumerate(r) if row and row[0][0] == i + 1)
         check(f"fused scan at dim={d_odd}", hits == 16)
 
+    # --- pipelined serving: depth-2 results match sequential on TPU ---
+    want = flat.search_batch(fbase[:64], SearchParams(top_k=5))
+    got = flat.search_batch_pipelined(
+        [fbase[:64]] * 3, SearchParams(top_k=5), depth=2
+    )
+    check("flat pipelined == sequential", all(g == want for g in got))
+
+    # --- f16 query upload: same top-1, distances within ~1e-3 ---
+    import os as _os
+
+    _os.environ["SCNT_QUERY_F16"] = "1"
+    try:
+        r16 = flat.search_batch(fbase[:64], SearchParams(top_k=5))
+    finally:
+        _os.environ.pop("SCNT_QUERY_F16", None)
+    same_top = sum(1 for a, b in zip(r16, want) if a[0][0] == b[0][0])
+    dev = max(
+        abs(a[j][1] - b[j][1])
+        for a, b in zip(r16, want)
+        for j in range(min(len(a), len(b)))
+    )
+    check("f16 query upload", same_top >= 62 and dev < 5e-3,
+          f"top1 {same_top}/64, max dist dev {dev:.2e}")
+
     print("TPU smoke: ALL OK", flush=True)
 
 
