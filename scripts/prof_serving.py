@@ -75,7 +75,11 @@ for B in (4096, 16384, 32768):
             flush=True,
         )
 
-# HNSW at the bench operating point
+# HNSW at the bench operating point (SCNT_HNSW_DTYPE=bfloat16 halves the
+# device graph's vector bytes: cheaper beam gathers + sync uploads, at
+# ~0.4%-relative distance rounding)
+import os  # noqa: E402
+
 hidx = HNSWIndex(
     dim=DIM,
     params=HNSWParams(m=16, ef_construction=200, ef_search=16, seed=42,
@@ -83,6 +87,7 @@ hidx = HNSWIndex(
     metric=DistanceMetric.COSINE,
     use_device=True,
     search_batch_size=256,
+    device_dtype=os.environ.get("SCNT_HNSW_DTYPE", "float32"),
 )
 t0 = time.time()
 hidx.bulk_insert(list(range(1, N + 1)), base)
