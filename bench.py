@@ -238,7 +238,15 @@ def run_scale(n, rng):
     frecall = recall_of(fresults, true_i)
     out["flat_qps"] = round(fqps, 1)
     out["flat_recall_at_10"] = round(frecall, 4)
-    log(f"n={n}: Flat exact: {fqps:.0f} QPS recall@{K}={frecall:.4f}")
+    # achieved scan rate: each query scores all n rows (D MACs each).
+    # Peak context (v5e): ~394 TOPS int8 / ~197 TFLOP/s bf16 — the gap is
+    # the tunnel's transfer wall, not the kernel (device-only rate is
+    # ~6x the end-to-end rate; see docs/architecture.md serving section).
+    out["flat_achieved_tops"] = round(fqps * n * DIM * 2 / 1e12, 2)
+    log(
+        f"n={n}: Flat exact: {fqps:.0f} QPS recall@{K}={frecall:.4f} "
+        f"({out['flat_achieved_tops']} TOPS end-to-end)"
+    )
 
     out["gated_qps"] = round(
         max(
