@@ -482,6 +482,10 @@ class FlatIndex:
                     [queries, np.zeros((padded - B, self.dim), np.float32)]
                 )
             up_dtype = jnp.float16 if _query_f16() else jnp.float32
+            # scan tiles folded per grid step: fewer/fatter steps cut the
+            # per-step fixed overhead (~half the kernel wall at tps=1);
+            # capacity is pow2 >= 2^18 so any pow2 tps divides it
+            tps = int(os.environ.get("SCNT_SCAN_TPS", "1"))
             d, s = flat_topk_fused(
                 jnp.asarray(chunk, up_dtype),
                 a["scan"],
@@ -492,6 +496,7 @@ class FlatIndex:
                 a.get("scan_sq", a["sq_norms"]),
                 width=max(4 * k, 64),
                 base_scale=a.get("scan_scale"),
+                tps=tps,
             )
             return self._pack_payload(B, k, [(0, B, d, s)])
         # an int8 scan copy is only usable by the fused kernel; elsewhere

@@ -107,7 +107,7 @@ def flat_topk(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("metric", "k", "width", "interpret"),
+    static_argnames=("metric", "k", "width", "interpret", "tps"),
 )
 def flat_topk_fused(
     queries: jax.Array,  # [B, D] f32 (or f16 — cast up; halves upload bytes)
@@ -120,6 +120,7 @@ def flat_topk_fused(
     width: int = 64,
     base_scale: jax.Array | None = None,  # [N] f32, required for int8
     interpret: bool = False,
+    tps: int = 1,  # scan tiles per grid step (N % (tps*LANES) == 0)
 ) -> tuple[jax.Array, jax.Array]:
     """Exact search via the fused Pallas lane scan (ops/pallas_scan.py):
     one corpus-streaming pass selects ~2*LANES winners per query with the
@@ -152,12 +153,12 @@ def flat_topk_fused(
         assert base_scale is not None, "int8 scan needs per-row scales"
         lane_d, lane_i = lane_topk_scan_packed_int8(
             q_scan, scan_base, base_scale, base_sq_norms, invalid, metric,
-            interpret=interpret,
+            interpret=interpret, tps=tps,
         )
     else:
         lane_d, lane_i = lane_topk_scan_packed(
             q_scan, scan_base, base_sq_norms, invalid, metric,
-            interpret=interpret,
+            interpret=interpret, tps=tps,
         )
     width = min(width, lane_d.shape[1])
     # approx_min_k (PartialReduce) instead of a sort-based top_k: selecting

@@ -196,13 +196,14 @@ def _fold_best_two_packed(key, k1_ref, k2_ref):
 
 def _lane_scan_kernel_packed(
     q_ref,  # [B, D] bf16 (VMEM, resident)
-    base_ref,  # [LANES, D] bf16 (VMEM, per grid step)
-    bsq_ref,  # [1, LANES] f32 (L2 only; zeros otherwise)
-    inv_ref,  # [1, LANES] f32 (1.0 = invalid slot)
+    base_ref,  # [tps*LANES, D] bf16 (VMEM, per grid step)
+    bsq_ref,  # [1, tps*LANES] f32 (L2 only; zeros otherwise)
+    inv_ref,  # [1, tps*LANES] f32 (1.0 = invalid slot)
     k1_ref,  # out [B, LANES] f32 — packed lane best
     k2_ref,  # out [B, LANES] f32 — packed lane second-best
     *,
     metric: int,
+    tps: int = 1,
 ):
     step = pl.program_id(1)
 
@@ -211,30 +212,35 @@ def _lane_scan_kernel_packed(
         k1_ref[:] = jnp.full_like(k1_ref, _SENTINEL)
         k2_ref[:] = jnp.full_like(k2_ref, _SENTINEL)
 
-    dots = jax.lax.dot_general(
-        q_ref[:],
-        base_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    if metric == _L2:
-        s = bsq_ref[:] - 2.0 * dots
-    else:
-        s = -dots
-    s = jnp.where(inv_ref[:] > 0.5, _SENTINEL, s)
-    _fold_best_two_packed(_pack_tile(s, step), k1_ref, k2_ref)
+    # tps base tiles per grid step (unrolled): same fold math, 1/tps the
+    # per-step fixed overhead — measured ~half the kernel wall at tps=1
+    for t in range(tps):
+        rows = slice(t * LANES, (t + 1) * LANES)
+        dots = jax.lax.dot_general(
+            q_ref[:],
+            base_ref[rows, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if metric == _L2:
+            s = bsq_ref[:, rows] - 2.0 * dots
+        else:
+            s = -dots
+        s = jnp.where(inv_ref[:, rows] > 0.5, _SENTINEL, s)
+        _fold_best_two_packed(_pack_tile(s, step * tps + t), k1_ref, k2_ref)
 
 
 def _lane_scan_kernel_packed_int8(
     q_ref,  # [B, D] i8 (VMEM, resident)
     qs_ref,  # [B, 1] f32 per-query dequant scale
-    base_ref,  # [LANES, D] i8 (VMEM, per grid step)
-    bs_ref,  # [1, LANES] f32 per-row dequant scale
-    bsq_ref,  # [1, LANES] f32 (L2 only)
-    inv_ref,  # [1, LANES] f32
+    base_ref,  # [tps*LANES, D] i8 (VMEM, per grid step)
+    bs_ref,  # [1, tps*LANES] f32 per-row dequant scale
+    bsq_ref,  # [1, tps*LANES] f32 (L2 only)
+    inv_ref,  # [1, tps*LANES] f32
     k1_ref, k2_ref,  # out [B, LANES] f32 packed
     *,
     metric: int,
+    tps: int = 1,
 ):
     step = pl.program_id(1)
 
@@ -243,21 +249,23 @@ def _lane_scan_kernel_packed_int8(
         k1_ref[:] = jnp.full_like(k1_ref, _SENTINEL)
         k2_ref[:] = jnp.full_like(k2_ref, _SENTINEL)
 
-    dots = jax.lax.dot_general(
-        q_ref[:],
-        base_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).astype(jnp.float32)
-    if metric == _L2:
-        s = bsq_ref[:] - 2.0 * dots * (qs_ref[:] * bs_ref[:])
-    else:
-        s = -dots * bs_ref[:]
-    s = jnp.where(inv_ref[:] > 0.5, _SENTINEL, s)
-    _fold_best_two_packed(_pack_tile(s, step), k1_ref, k2_ref)
+    for t in range(tps):
+        rows = slice(t * LANES, (t + 1) * LANES)
+        dots = jax.lax.dot_general(
+            q_ref[:],
+            base_ref[rows, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        if metric == _L2:
+            s = bsq_ref[:, rows] - 2.0 * dots * (qs_ref[:] * bs_ref[:, rows])
+        else:
+            s = -dots * bs_ref[:, rows]
+        s = jnp.where(inv_ref[:, rows] > 0.5, _SENTINEL, s)
+        _fold_best_two_packed(_pack_tile(s, step * tps + t), k1_ref, k2_ref)
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "interpret"))
+@functools.partial(jax.jit, static_argnames=("metric", "interpret", "tps"))
 def lane_topk_scan_packed(
     queries,  # [B, D] f32 (pre-normalized for cosine); B % 8 == 0
     base,  # [N, D] bf16; N % LANES == 0
@@ -265,19 +273,22 @@ def lane_topk_scan_packed(
     invalid,  # [N] f32 (1.0 = deleted/empty slot)
     metric: int,
     interpret: bool = False,
+    tps: int = 1,  # base tiles folded per grid step (N % (tps*LANES) == 0)
 ):
     """Packed-key variant of lane_topk_scan. Returns (keys [B, 2*LANES]
     f32 ranking-form with embedded tile ids, rows [B, 2*LANES] i32,
     -1 = empty)."""
     B, D = queries.shape
     N = base.shape[0]
-    assert N % LANES == 0 and N // LANES <= (1 << _TILE_BITS)
+    assert N % (tps * LANES) == 0 and N // LANES <= (1 << _TILE_BITS)
     SUB = min(B, _MAX_B)
     assert B % SUB == 0, f"B must be a multiple of {SUB} (or < {_MAX_B})"
     qb = queries.astype(jnp.bfloat16)
 
-    grid = (B // SUB, N // LANES)
-    kernel = functools.partial(_lane_scan_kernel_packed, metric=metric)
+    grid = (B // SUB, N // (tps * LANES))
+    kernel = functools.partial(
+        _lane_scan_kernel_packed, metric=metric, tps=tps
+    )
     k1, k2 = pl.pallas_call(
         kernel,
         grid=grid,
@@ -286,13 +297,16 @@ def lane_topk_scan_packed(
                 (SUB, D), lambda b, i: (b, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (LANES, D), lambda b, i: (i, 0), memory_space=pltpu.VMEM
+                (tps * LANES, D), lambda b, i: (i, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, LANES), lambda b, i: (0, i), memory_space=pltpu.VMEM
+                (1, tps * LANES), lambda b, i: (0, i),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, LANES), lambda b, i: (0, i), memory_space=pltpu.VMEM
+                (1, tps * LANES), lambda b, i: (0, i),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=tuple(
@@ -312,7 +326,7 @@ def lane_topk_scan_packed(
     return keys, rows
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "interpret"))
+@functools.partial(jax.jit, static_argnames=("metric", "interpret", "tps"))
 def lane_topk_scan_packed_int8(
     queries,  # [B, D] f32 (pre-normalized for cosine); B % 8 == 0
     base8,  # [N, D] i8 per-row quantized
@@ -321,17 +335,20 @@ def lane_topk_scan_packed_int8(
     invalid,  # [N] f32
     metric: int,
     interpret: bool = False,
+    tps: int = 1,  # base tiles folded per grid step (N % (tps*LANES) == 0)
 ):
     """Packed-key variant of lane_topk_scan_int8."""
     B, D = queries.shape
     N = base8.shape[0]
-    assert N % LANES == 0 and N // LANES <= (1 << _TILE_BITS)
+    assert N % (tps * LANES) == 0 and N // LANES <= (1 << _TILE_BITS)
     SUB = min(B, _MAX_B)
     assert B % SUB == 0, f"B must be a multiple of {SUB} (or < {_MAX_B})"
     q8, q_scale = quantize_rows(queries.astype(jnp.float32))
 
-    grid = (B // SUB, N // LANES)
-    kernel = functools.partial(_lane_scan_kernel_packed_int8, metric=metric)
+    grid = (B // SUB, N // (tps * LANES))
+    kernel = functools.partial(
+        _lane_scan_kernel_packed_int8, metric=metric, tps=tps
+    )
     k1, k2 = pl.pallas_call(
         kernel,
         grid=grid,
@@ -343,16 +360,20 @@ def lane_topk_scan_packed_int8(
                 (SUB, 1), lambda b, i: (b, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (LANES, D), lambda b, i: (i, 0), memory_space=pltpu.VMEM
+                (tps * LANES, D), lambda b, i: (i, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, LANES), lambda b, i: (0, i), memory_space=pltpu.VMEM
+                (1, tps * LANES), lambda b, i: (0, i),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, LANES), lambda b, i: (0, i), memory_space=pltpu.VMEM
+                (1, tps * LANES), lambda b, i: (0, i),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, LANES), lambda b, i: (0, i), memory_space=pltpu.VMEM
+                (1, tps * LANES), lambda b, i: (0, i),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=tuple(

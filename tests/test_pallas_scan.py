@@ -117,7 +117,44 @@ class TestFusedTopK:
             )
 
     @pytest.mark.parametrize("metric", [L2, COS, IP])
-    def test_int8_recall_and_exact_distances(self, rng, metric):
+    @pytest.mark.parametrize("tps", [2, 4])
+    def test_tiles_per_step_matches_single(self, rng, metric, tps):
+        """tps>1 folds several base tiles per grid step — selection and
+        distances must match the tps=1 program exactly."""
+        from scintirete_tpu.ops.distance import distance_np
+
+        B, D, N, k = 16, 24, 4 * LANES, 10
+        q = rng.standard_normal((B, D)).astype(np.float32)
+        base = rng.standard_normal((N, D)).astype(np.float32)
+        valid = np.ones(N, bool)
+        valid[N - 3 :] = False
+        if metric == COS:
+            scan = base / np.linalg.norm(base, axis=1, keepdims=True)
+            scan_sq = np.ones(N, np.float32)
+        else:
+            scan = base
+            scan_sq = np.sum(base * base, axis=1).astype(np.float32)
+        args = (
+            jnp.asarray(q), jnp.asarray(scan, jnp.bfloat16),
+            jnp.asarray(base), jnp.asarray(valid), metric, k,
+            jnp.asarray(scan_sq),
+        )
+        d1, s1 = flat_topk_fused(*args, interpret=True)
+        dt, st = flat_topk_fused(*args, interpret=True, tps=tps)
+        np.testing.assert_array_equal(np.asarray(st), np.asarray(s1))
+        np.testing.assert_allclose(np.asarray(dt), np.asarray(d1))
+        ref = distance_np(q, base, DistanceMetric(metric)).astype(np.float32)
+        ref = np.where(~valid[None, :], np.inf, ref)
+        true_i = np.argsort(ref, axis=1, kind="stable")[:, :k]
+        hits = sum(
+            len(set(np.asarray(st)[b].tolist()) & set(true_i[b].tolist()))
+            for b in range(B)
+        )
+        assert hits / (B * k) >= 0.95
+
+    @pytest.mark.parametrize("metric", [L2, COS, IP])
+    @pytest.mark.parametrize("tps", [1, 2])
+    def test_int8_recall_and_exact_distances(self, rng, metric, tps):
         from scintirete_tpu.index.flat import _quant8
         from scintirete_tpu.ops.distance import distance_np
 
@@ -136,7 +173,7 @@ class TestFusedTopK:
         d, s = flat_topk_fused(
             jnp.asarray(q), jnp.asarray(q8), jnp.asarray(base),
             jnp.asarray(invalid < 0.5), metric, k, jnp.asarray(scan_sq),
-            base_scale=jnp.asarray(sc), interpret=True,
+            base_scale=jnp.asarray(sc), interpret=True, tps=tps,
         )
         d, s = np.asarray(d), np.asarray(s)
         ref = distance_np(q, base, DistanceMetric(metric)).astype(np.float32)
