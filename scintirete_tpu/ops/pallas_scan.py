@@ -163,7 +163,7 @@ def _lane_scan_kernel_int8(
 # own bit pattern. Invalid rows use a large FINITE sentinel (inf's
 # exponent + nonzero mantissa would be NaN).
 
-_TILE_BITS = 13  # supports 2^13 tiles = 4M rows at LANES=512
+_TILE_BITS = 13  # supports 2^13 tiles = 8M rows at LANES=1024
 _TILE_MASK = (1 << _TILE_BITS) - 1
 _SENTINEL = 3.0e38  # "no candidate"; stays finite after bit-mangling
 
