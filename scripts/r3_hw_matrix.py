@@ -171,6 +171,12 @@ hidx = HNSWIndex(
 
 
 def s5_hnsw():
+    from scintirete_tpu.utils import prewarm
+
+    t0 = time.time()
+    prewarm.warm_build(N, DIM, int(DistanceMetric.COSINE), m=16,
+                       heuristic=True)
+    print(f"hnsw prewarm {time.time()-t0:.1f}s", flush=True)
     t0 = time.time()
     hidx.bulk_insert(list(range(1, N + 1)), base)
     print(f"hnsw build {time.time()-t0:.1f}s", flush=True)
