@@ -265,11 +265,17 @@ class CLI:
 
 
 def main(argv=None) -> int:
+    # add_help off so -h can mean host like the reference CLI's flag set
+    # (cmd/scintirete-cli/main.go:20-25: -h/-p/-a/-d); --help still works
     parser = argparse.ArgumentParser(
         prog="scintirete-tpu-cli",
         description="Interactive client for scintirete-tpu (gRPC)",
+        add_help=False,
     )
-    parser.add_argument("-H", "--host", default="127.0.0.1")
+    parser.add_argument("--help", action="help",
+                        help="show this help message and exit")
+    parser.add_argument("-h", "-H", "--host", dest="host",
+                        default="127.0.0.1")
     parser.add_argument("-p", "--port", type=int, default=9090)
     parser.add_argument("-a", "--password", default="")
     parser.add_argument("-d", "--database", default="")

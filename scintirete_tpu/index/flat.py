@@ -54,6 +54,20 @@ def _query_f16() -> bool:
     return os.environ.get("SCNT_QUERY_F16", "0") == "1"
 
 
+def _sanitize_tps(tps: int, cap: int) -> int:
+    """Clamp a requested scan-tiles-per-step to the largest power of two
+    <= tps that divides cap/LANES (capacity is pow2 >= 2^18 in the fused
+    regime, so any pow2 tps <= cap/LANES works; a stray odd/oversized env
+    value must degrade, not trip the kernel's divisibility assert)."""
+    from scintirete_tpu.ops.pallas_scan import LANES
+
+    tps = max(1, tps)
+    tps = 1 << (tps.bit_length() - 1)
+    while tps > 1 and cap % (tps * LANES) != 0:
+        tps >>= 1
+    return tps
+
+
 def _quant8(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Per-row symmetric int8 quantization (host mirror of
     ops.pallas_scan.quantize_rows)."""
@@ -483,9 +497,10 @@ class FlatIndex:
                 )
             up_dtype = jnp.float16 if _query_f16() else jnp.float32
             # scan tiles folded per grid step: fewer/fatter steps cut the
-            # per-step fixed overhead (~half the kernel wall at tps=1);
-            # capacity is pow2 >= 2^18 so any pow2 tps divides it
-            tps = int(os.environ.get("SCNT_SCAN_TPS", "1"))
+            # per-step fixed overhead (~half the kernel wall at tps=1)
+            tps = _sanitize_tps(
+                int(os.environ.get("SCNT_SCAN_TPS", "1")), self.cap
+            )
             d, s = flat_topk_fused(
                 jnp.asarray(chunk, up_dtype),
                 a["scan"],

@@ -286,3 +286,18 @@ class TestPipelinedServing:
         want = [idx.search_batch(q, params) for q in batches]
         got = idx.search_batch_pipelined(batches, params, depth=depth)
         assert got == want
+
+
+class TestScanTpsSanitize:
+    def test_sanitize_tps(self):
+        from scintirete_tpu.index.flat import _sanitize_tps
+        from scintirete_tpu.ops.pallas_scan import LANES
+
+        cap = 1 << 20
+        assert _sanitize_tps(1, cap) == 1
+        assert _sanitize_tps(4, cap) == 4
+        assert _sanitize_tps(3, cap) == 2      # round down to pow2
+        assert _sanitize_tps(0, cap) == 1      # clamp
+        assert _sanitize_tps(-2, cap) == 1
+        # oversized: degrade until it divides cap/LANES
+        assert _sanitize_tps(1 << 16, cap) == cap // LANES
