@@ -265,7 +265,10 @@ def run_scale(n, rng):
                 index.search_batch(queries[:b], params)  # warm this shape
                 ts = []
                 for i in range(20):
-                    q = queries[b * i : b * i + b]
+                    # wrap so small BENCH_QUERIES never yields an empty
+                    # (or short) slice — b*i can pass len(queries)
+                    s = (b * i) % max(len(queries) - b + 1, 1)
+                    q = queries[s : s + b]
                     t0 = time.perf_counter()
                     index.search_batch(q, params)
                     ts.append(time.perf_counter() - t0)

@@ -613,6 +613,7 @@ class DeviceGraph:
         self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
         self._version = -1
         self._shape_sig: Any = None
+        self._pivot_count = 0
         self.arrays: dict[str, Any] = {}
         self._offsets: list[int] = []
         # concurrent READERS of an index may both hit the lazy sync; the
@@ -647,11 +648,10 @@ class DeviceGraph:
         cat, rows, self._offsets = build_cat_tables(store)
         return cat, rows
 
-    def _full_upload(self, store: GraphStore) -> None:
-        vecs = store.vectors
-        cat, rows = self._cat_tables(store)
+    def _pivot_arrays(self, store: GraphStore) -> dict[str, Any]:
         # entry pivots: a strided sample of allocated slots; the nearest
         # pivot (one MXU matmul) is the search entry point
+        vecs = store.vectors
         R = max(64, min(1 << int(np.ceil(np.log2(max(store.count, 1) / 16 + 1))),
                         16384))
         stride = max(store.count // R, 1)
@@ -666,6 +666,16 @@ class DeviceGraph:
             # non-zero pivots, 0 for zero pivots which keep distance 1)
             norms = np.linalg.norm(pvecs, axis=1, keepdims=True)
             pvecs = np.where(norms > 1e-30, pvecs / np.maximum(norms, 1e-30), 0.0)
+        self._pivot_count = store.count
+        return {
+            "pivots": jnp.asarray(pivots),
+            "pivot_vecs": jnp.asarray(pvecs),
+            "pivot_sq": jnp.asarray(np.sum(pvecs * pvecs, axis=1)),
+        }
+
+    def _full_upload(self, store: GraphStore) -> None:
+        vecs = store.vectors
+        cat, rows = self._cat_tables(store)
         self.arrays = {
             "vectors": jnp.asarray(vecs, dtype=self.dtype),
             "sq_norms": jnp.asarray(
@@ -675,9 +685,7 @@ class DeviceGraph:
             "neighbors0": jnp.asarray(store.neighbors0),
             "up_nbrs_cat": jnp.asarray(cat),
             "up_rows_flat": jnp.asarray(rows),
-            "pivots": jnp.asarray(pivots),
-            "pivot_vecs": jnp.asarray(pvecs),
-            "pivot_sq": jnp.asarray(np.sum(pvecs * pvecs, axis=1)),
+            **self._pivot_arrays(store),
         }
 
     @staticmethod
@@ -696,6 +704,13 @@ class DeviceGraph:
 
     def _incremental(self, store: GraphStore, dirty: dict) -> None:
         a = self.arrays
+        # the pivot sample only covers slots [0, _pivot_count); appended
+        # batches past ~25% growth would otherwise leave entry points
+        # sampled solely from old data (recall degrades progressively
+        # until a capacity doubling forces a full upload) — refresh the
+        # (small) pivot arrays whenever the live prefix has outgrown them
+        if store.count > self._pivot_count + max(self._pivot_count // 4, 16):
+            a.update(self._pivot_arrays(store))
         if dirty["vectors"]:
             rows = np.fromiter(dirty["vectors"], np.int32, len(dirty["vectors"]))
             a["vectors"] = self._scatter_into(

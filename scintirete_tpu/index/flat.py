@@ -54,14 +54,17 @@ def _query_f16() -> bool:
     return os.environ.get("SCNT_QUERY_F16", "0") == "1"
 
 
-def _sanitize_tps(tps: int, cap: int) -> int:
-    """Clamp a requested scan-tiles-per-step to the largest power of two
-    <= tps that divides cap/LANES (capacity is pow2 >= 2^18 in the fused
-    regime, so any pow2 tps <= cap/LANES works; a stray odd/oversized env
-    value must degrade, not trip the kernel's divisibility assert)."""
+def _sanitize_tps(tps: int, cap: int, dim: int = 128) -> int:
+    """Clamp a requested scan-tiles-per-step to a power of two that (a)
+    divides cap/LANES (capacity is pow2 >= 2^18 in the fused regime) and
+    (b) keeps the per-step base block (tps*LANES rows x dim, <= 2 B/elt)
+    within ~4 MB of VMEM next to the ~8 MB of packed outputs. A stray
+    odd/oversized env value must degrade, not trip the kernel's
+    divisibility assert or a Mosaic VMEM OOM."""
     from scintirete_tpu.ops.pallas_scan import LANES
 
-    tps = max(1, tps)
+    vmem_cap = max(1, (4 << 20) // (LANES * max(dim, 1) * 2))
+    tps = min(max(1, tps), 8, vmem_cap)
     tps = 1 << (tps.bit_length() - 1)
     while tps > 1 and cap % (tps * LANES) != 0:
         tps >>= 1
@@ -499,7 +502,8 @@ class FlatIndex:
             # scan tiles folded per grid step: fewer/fatter steps cut the
             # per-step fixed overhead (~half the kernel wall at tps=1)
             tps = _sanitize_tps(
-                int(os.environ.get("SCNT_SCAN_TPS", "1")), self.cap
+                int(os.environ.get("SCNT_SCAN_TPS", "1")), self.cap,
+                self.dim,
             )
             d, s = flat_topk_fused(
                 jnp.asarray(chunk, up_dtype),

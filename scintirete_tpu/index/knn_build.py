@@ -703,9 +703,14 @@ def build(store: GraphStore, vectors: np.ndarray) -> list[int]:
         if nm <= 1:
             adj = np.full((nm, max_deg), -1, np.int32)
         elif nm <= HOST_LAYER_MAX:
+            # layer 0's edges appear directly in results: give it the full
+            # candidate pool; upper ROUTING layers cap at 4*m (plenty for
+            # an m-degree diversity selection, and cheaper)
+            k_cand = (
+                KNN_CANDIDATES if l == 0 else min(KNN_CANDIDATES, 4 * store.m)
+            )
             adj = _build_layer_host(
-                vectors[members], metric, max_deg,
-                min(KNN_CANDIDATES, 4 * store.m), heuristic,
+                vectors[members], metric, max_deg, k_cand, heuristic,
             )
         else:
             adj = _layer_adj(ctx, nm, max_deg, heuristic)

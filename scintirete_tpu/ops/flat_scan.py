@@ -142,8 +142,9 @@ def flat_topk_fused(
     else:
         q_scan = q32
     # ONE kernel dispatch for the whole batch: the kernels take a 2D grid
-    # (query blocks x base tiles), so any B that is a multiple of 512 (or
-    # small) runs as a single program — no Python sub-batch loop. The
+    # (query blocks x base tiles), so any B that is a multiple of the
+    # kernels' _MAX_B sub-block (or smaller than it) runs as a single
+    # program — no Python sub-batch loop. The
     # packed-key kernels fold each score block in 3 VPU ops (the unpacked
     # top-2 fold was ~4x the matmul time and capped the scan at ~4% of
     # int8 peak); ranking scores carry tile ids in their low mantissa

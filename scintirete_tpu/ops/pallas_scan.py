@@ -169,6 +169,15 @@ _SENTINEL = 3.0e38  # "no candidate"; stays finite after bit-mangling
 
 
 def _pack_tile(s, step):
+    # inf/NaN-safe: an infinite score would OR the tile bits into inf's
+    # zero mantissa and produce a NaN key, which the jnp.minimum fold then
+    # latches onto for that lane for the REST of the scan (a silent recall
+    # hole for every row sharing the lane). Scores can legitimately hit
+    # +/-inf when f32 norms/dots overflow (finite elements ~2e19), so
+    # clamp to the finite sentinel band; NaN scores rank last. Downstream
+    # reranks in exact f32, so clamped candidates still sort correctly.
+    s = jnp.clip(s, -_SENTINEL, _SENTINEL)
+    s = jnp.where(s != s, _SENTINEL, s)
     bits = jax.lax.bitcast_convert_type(s, jnp.int32)
     bits = jnp.bitwise_or(
         jnp.bitwise_and(bits, jnp.int32(~_TILE_MASK)), jnp.int32(step)

@@ -291,7 +291,6 @@ class TestPipelinedServing:
 class TestScanTpsSanitize:
     def test_sanitize_tps(self):
         from scintirete_tpu.index.flat import _sanitize_tps
-        from scintirete_tpu.ops.pallas_scan import LANES
 
         cap = 1 << 20
         assert _sanitize_tps(1, cap) == 1
@@ -299,5 +298,8 @@ class TestScanTpsSanitize:
         assert _sanitize_tps(3, cap) == 2      # round down to pow2
         assert _sanitize_tps(0, cap) == 1      # clamp
         assert _sanitize_tps(-2, cap) == 1
-        # oversized: degrade until it divides cap/LANES
-        assert _sanitize_tps(1 << 16, cap) == cap // LANES
+        # oversized: clamp to the 8/VMEM ceiling, never cap//LANES
+        assert _sanitize_tps(1 << 16, cap) == 8
+        # wide rows shrink the VMEM-derived ceiling (4MB / (LANES*dim*2))
+        assert _sanitize_tps(8, cap, dim=2048) == 1
+        assert _sanitize_tps(8, cap, dim=256) == 8

@@ -399,3 +399,37 @@ class TestPivotEntry:
         res = idx.search_batch(vecs[:8], SearchParams(top_k=10))
         for rlist in res:
             assert not ({r[0] for r in rlist} & dead)
+
+
+class TestDevicePivotRefresh:
+    def test_incremental_sync_refreshes_pivots_on_growth(self, rng):
+        """The entry-pivot sample only covers slots [0, count-at-upload).
+        Incremental syncs after >25% growth must resample, or appended
+        regions are never reachable as entry points (recall degrades
+        progressively until a capacity doubling forces a full upload)."""
+        from scintirete_tpu.index.device import DeviceGraph
+
+        store = GraphStore(8, HNSWParams(m=4, ef_construction=20, seed=1),
+                           DistanceMetric.L2)
+        vecs = rng.standard_normal((64, 8)).astype(np.float32)
+        store.reserve(np.zeros(64, np.int64))
+        store.alloc_slots(vecs[:40], np.zeros(40, np.int64))
+        g = DeviceGraph()
+        g.sync(store)
+        assert g._pivot_count == 40
+        piv0 = np.asarray(g.arrays["pivots"])
+        assert piv0.max() < 40
+
+        # small growth (< threshold): incremental sync keeps the sample
+        store.alloc_slots(vecs[40:44], np.zeros(4, np.int64))
+        g.sync(store)
+        assert g._pivot_count == 40
+
+        # big growth within capacity: same shapes -> incremental path,
+        # but the pivot arrays must now cover the appended prefix
+        store.alloc_slots(vecs[44:], np.zeros(20, np.int64))
+        assert g._signature(store) == g._shape_sig  # truly incremental
+        g.sync(store)
+        assert g._pivot_count == 64
+        piv1 = np.asarray(g.arrays["pivots"])
+        assert piv1.max() > piv0.max()

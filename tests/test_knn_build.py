@@ -407,7 +407,10 @@ def test_batched_append_keeps_device_mirror(rng):
     dev = idx._device
     assert dev is not None
     graph = dev.graph if hasattr(dev, "graph") else dev._graph
-    pivots_before = graph.arrays["pivots"]
+    full_uploads = []
+    orig_full = graph._full_upload
+    graph._full_upload = lambda store: (full_uploads.append(1),
+                                        orig_full(store))[1]
 
     # append 2: count 6800 < cap 8192 — must be incremental
     idx.bulk_insert(
@@ -418,7 +421,10 @@ def test_batched_append_keeps_device_mirror(rng):
     res = idx.search_batch(
         base[n1 + n2 : n1 + n2 + 4], SearchParams(top_k=3, ef_search=50)
     )
-    # incremental sync: _full_upload would have REPLACED pivots
-    assert graph.arrays["pivots"] is pivots_before
+    assert not full_uploads  # incremental sync, no full re-upload
+    # >25% growth: the incremental sync must have resampled entry pivots
+    # to cover the appended region (device.py _incremental)
+    assert graph._pivot_count == n1 + n2 + n3
+    graph._full_upload = orig_full
     # appended vectors are searchable through the device path
     assert res[0][0][0] == n1 + n2 + 1

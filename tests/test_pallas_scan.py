@@ -327,3 +327,37 @@ class TestFusedTopK:
             np.testing.assert_allclose(
                 cd[b], ref[b, ci[b]], rtol=1e-2, atol=1e-3
             )
+
+
+class TestInfSafety:
+    def test_overflowed_norm_does_not_poison_lane(self, rng):
+        """A row whose squared L2 norm overflows f32 (finite elements,
+        inf norm) must not become a NaN packed key: jnp.minimum(k, NaN)
+        would latch NaN for its lane for the rest of the scan, silently
+        dropping every row sharing the lane (regression: the pre-packed
+        fold was inf-safe)."""
+        B, D, N = 8, 16, 2 * LANES
+        q = rng.standard_normal((B, D)).astype(np.float32)
+        base = rng.standard_normal((N, D)).astype(np.float32)
+        base[5] = 2.0e19  # norm^2 ~ 6e39 -> inf in f32
+        b_sq = np.sum(base.astype(np.float32) ** 2, axis=1)  # inf at row 5
+        assert np.isinf(b_sq[5])
+        invalid = np.zeros(N, np.float32)
+
+        d, i = flat_topk_fused(
+            jnp.asarray(q), jnp.asarray(base, jnp.bfloat16),
+            jnp.asarray(base), jnp.ones(N, bool), L2, 5,
+            jnp.asarray(b_sq), width=32, interpret=True,
+        )
+        d, i = np.asarray(d), np.asarray(i)
+        assert np.all(np.isfinite(d))
+        assert np.all(i >= 0)
+        # the top-5 must match brute force over the sane rows (row 5 and
+        # every row sharing its lane must still be rankable)
+        sane = rank_scores(q, base, b_sq, invalid, L2)
+        want = np.argsort(np.where(np.isfinite(sane), sane, np.inf), axis=1)
+        for b in range(B):
+            got = set(i[b].tolist())
+            # bf16 ranking: allow the exact set to differ only within the
+            # rerank width; top-1 must agree
+            assert want[b, 0] in got
