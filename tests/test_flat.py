@@ -303,3 +303,24 @@ class TestScanTpsSanitize:
         # wide rows shrink the VMEM-derived ceiling (4MB / (LANES*dim*2))
         assert _sanitize_tps(8, cap, dim=2048) == 1
         assert _sanitize_tps(8, cap, dim=256) == 8
+
+
+class TestSubmitCollectSnapshot:
+    def test_collect_after_delete_sees_submit_snapshot(self, rng):
+        """search_submit snapshots the corpus (device arrays are
+        version-keyed, slots stable under soft delete): a delete between
+        submit and collect must NOT leak into the collected results."""
+        base = rng.standard_normal((300, 8)).astype(np.float32)
+        idx = FlatIndex(dim=8, metric=DistanceMetric.L2, use_device=True)
+        idx.bulk_insert(list(range(1, 301)), base)
+        params = SearchParams(top_k=3)
+        q = base[9:10]
+        want = idx.search_batch(q, params)
+        pending = idx.search_submit(q, params)
+        assert idx.delete(10) is True  # id 10 == base[9], the top-1 hit
+        got = idx.search_collect(pending)
+        assert got == want
+        assert got[0][0][0] == 10
+        # a fresh search reflects the delete
+        after = idx.search_batch(q, params)
+        assert after[0][0][0] != 10
