@@ -637,10 +637,18 @@ class DeviceGraph:
                 return
             sig = self._signature(store)
             dirty = store.take_dirty()
-            if self._shape_sig != sig or dirty is None:
-                self._full_upload(store)
-            else:
-                self._incremental(store, dirty)
+            try:
+                if self._shape_sig != sig or dirty is None:
+                    self._full_upload(store)
+                else:
+                    self._incremental(store, dirty)
+            except BaseException:
+                # the dirty set was consumed but not applied (e.g. a
+                # transient transfer error mid-scatter): those rows are
+                # unrecoverable as a delta, so force a FULL upload on the
+                # next sync instead of leaving the mirror silently stale
+                self._shape_sig = None
+                raise
             self._version = store.version
             self._shape_sig = sig
 

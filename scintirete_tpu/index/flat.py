@@ -204,12 +204,17 @@ class FlatIndex:
 
     def bulk_insert(self, ids: Sequence[int], vectors: np.ndarray) -> None:
         with self._write_mu, self._rw.write():
+            seen: set[int] = set()
             for vid in ids:
-                if int(vid) in self.id_to_slot:
+                v = int(vid)
+                # also reject repeats WITHIN the batch (two slots under one
+                # id: duplicate results + an undeletable phantom slot)
+                if v in self.id_to_slot or v in seen:
                     raise ScintireteError(
                         ErrorCode.INVALID_PARAMETER,
                         f"vector with ID {vid} already exists",
                     )
+                seen.add(v)
             vectors = np.asarray(vectors, np.float32)
             if vectors.ndim != 2 or vectors.shape[1] != self.dim:
                 raise dimension_mismatch(self.dim, int(vectors.shape[-1]))
@@ -388,6 +393,22 @@ class FlatIndex:
 
         dirty = self._dirty
         self._dirty = set()
+        try:
+            self._sync_apply(dirty, dtype, two_pass, use_int8, cosine,
+                             scan_form)
+        except BaseException:
+            # dirty rows were consumed but not applied (transient device
+            # error mid-scatter) — force a full upload on the next sync
+            self._dirty = None
+            raise
+        self._dev_version = self._version
+
+    def _sync_apply(self, dirty, dtype, two_pass, use_int8, cosine,
+                    scan_form):
+        import jax.numpy as jnp
+
+        from scintirete_tpu.index.device import DeviceGraph
+
         if self._dev_cap != self.cap or dirty is None or not self._dev:
             vecs = self.vectors
             valid = ~self.deleted & (np.arange(self.cap) < self.count)
@@ -448,7 +469,6 @@ class FlatIndex:
             self._dev["valid"] = DeviceGraph._scatter_into(
                 self._dev["valid"], rows, ok
             )
-        self._dev_version = self._version
 
     def _device_search(self, queries, k):
         return self._device_collect(self._device_submit(queries, k))

@@ -154,12 +154,18 @@ class HNSWIndex:
         with self._write_mu:
             # id_to_slot is only mutated under _write_mu, so validation here
             # is race-free vs other writers; readers never mutate it
+            seen: set[int] = set()
             for vid in ids:
-                if int(vid) in self.id_to_slot:
+                v = int(vid)
+                # within-batch repeats would register two slots under one
+                # id: searches return the id twice, delete() tombstones
+                # only the last slot, the other becomes a phantom
+                if v in self.id_to_slot or v in seen:
                     raise ScintireteError(
                         ErrorCode.INVALID_PARAMETER,
                         f"vector with ID {vid} already exists",
                     )
+                seen.add(v)
             vectors = np.asarray(vectors, np.float32)
             if vectors.ndim != 2 or vectors.shape[1] != self.store.dim:
                 from scintirete_tpu.errors import dimension_mismatch

@@ -951,6 +951,12 @@ def append_batch(
         table, row_of = store.adjacency(layer)
         rows = t_slots if row_of is None else row_of[t_slots]
         cur = table[rows]  # [T, max_deg] current adjacency (slot space)
+        # drop tombstoned current neighbors BEFORE the merge, like the
+        # host oracle (host_algo._add_link keeps only live nbrs): a
+        # closer-but-deleted neighbor must not crowd out the new edge
+        cur = np.where(
+            (cur >= 0) & store.deleted[np.maximum(cur, 0)], -1, cur
+        )
         tpad = _pad_pow2(len(t_slots), minimum=1024)
 
         def padded(a, fill):
@@ -1045,7 +1051,7 @@ def append_batch(
                 # program shape for every layer
                 member_mask = np.zeros(count, bool)
                 member_mask[live_m] = True
-                cand_d, cand_i = scan_masked(
+                cand_i, cand_d = scan_masked(
                     new_l, layer_invalid(member_mask), c
                 )
             elif nm_l > 2048:

@@ -324,3 +324,21 @@ class TestSubmitCollectSnapshot:
         # a fresh search reflects the delete
         after = idx.search_batch(q, params)
         assert after[0][0][0] != 10
+
+
+class TestWithinBatchDuplicateIds:
+    def test_flat_rejects_repeat_in_one_batch(self, rng):
+        idx = FlatIndex(dim=4, use_device=False)
+        with pytest.raises(ScintireteError) as exc:
+            idx.bulk_insert([7, 7], rng.standard_normal((2, 4)).astype(np.float32))
+        assert exc.value.code == ErrorCode.INVALID_PARAMETER
+        assert idx.size() == 0  # nothing partially registered
+
+    def test_hnsw_rejects_repeat_in_one_batch(self, rng):
+        from scintirete_tpu.index.hnsw import HNSWIndex
+
+        idx = HNSWIndex(dim=4, params=HNSWParams(m=4, seed=1),
+                        use_device=False)
+        with pytest.raises(ScintireteError):
+            idx.bulk_insert([3, 3], rng.standard_normal((2, 4)).astype(np.float32))
+        assert idx.size() == 0

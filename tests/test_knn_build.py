@@ -384,6 +384,16 @@ def test_batched_append_scan_cache_interpret(rng, monkeypatch):
     recall = hits / (len(queries) * 10)
     assert recall >= 0.93, recall
 
+    # upper-layer structural integrity on the FUSED path (regression: a
+    # swapped (ci, cd) unpack wrote float distances into the adjacency as
+    # slot ids — every neighbor at layer l must be a member of layer l)
+    store = idx.store
+    for l, ls in enumerate(store.layers, start=1):
+        rows = ls.nbrs[: ls.count]
+        assert (rows >= 0).sum(axis=1).max(initial=0) <= store.m
+        valid = rows[rows >= 0]
+        assert np.all(ls.row_of[valid] >= 0), f"layer {l} non-member nbrs"
+
 
 def test_batched_append_keeps_device_mirror(rng):
     """After a batched append that does NOT grow capacity, the device
