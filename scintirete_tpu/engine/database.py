@@ -263,7 +263,13 @@ class Engine:
                     device_dtype=cfg.get("device_dtype", "float32"),
                     index_type=cfg.get("index_type", "hnsw"),
                 )
-                db.create_collection(config)
+                col = db.create_collection(config)
+                # rewrite streams only re-INSERT live ids; without the
+                # high-water mark a restart would re-issue the ids of
+                # deleted vectors (the RDB path persists next_id — the
+                # rewrite stream needs the same)
+                if "next_id" in args:
+                    col._next_id = max(col._next_id, int(args["next_id"]))
         elif ctype == CMD_DROP_COLLECTION:
             db = self.get_database(dbname)
             if colname in db.list_collections():
@@ -312,7 +318,11 @@ class Engine:
                                     "hnsw": dc.asdict(col.config.hnsw),
                                     "device_dtype": col.config.device_dtype,
                                     "index_type": col.config.index_type,
-                                }
+                                },
+                                # preserve the auto-ID high-water mark: the
+                                # live-vector stream alone would let a
+                                # restart reuse deleted vectors' ids
+                                "next_id": col._next_id,
                             },
                         )
                     )
@@ -320,7 +330,21 @@ class Engine:
                     index = col._index
                     if index is None:
                         continue
-                    for vid in sorted(index.id_to_slot):
+                    # iterate a STABLE copy: concurrent inserts mutate
+                    # id_to_slot under the index's own lock, which this
+                    # background reader does not hold
+                    rw = getattr(index, "_rw", None)
+                    if rw is not None:
+                        with rw.read():
+                            id_list = sorted(index.id_to_slot)
+                    else:
+                        while True:
+                            try:
+                                id_list = sorted(index.id_to_slot)
+                                break
+                            except RuntimeError:
+                                continue  # dict resized mid-iteration
+                    for vid in id_list:
                         if not index.contains(vid):
                             continue
                         vec = col.get(vid)

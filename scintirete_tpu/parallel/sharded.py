@@ -22,6 +22,7 @@ per-shard HNSW searches (standard sharded-ANN semantics).
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Optional
 
 import jax
@@ -33,6 +34,14 @@ from scintirete_tpu.index.device import _search_kernel
 from scintirete_tpu.index.hnsw import HNSWIndex
 from scintirete_tpu.ops.distance import pairwise_distance
 from scintirete_tpu.types import DistanceMetric, HNSWParams, SearchParams
+from scintirete_tpu.utils.rwlock import RWLock
+
+
+def _pow2_at_least(n: int, minimum: int = 8) -> int:
+    """Tunnel program-count rule (CLAUDE.md): jit shapes/static args ride
+    a pow2 ladder so client-controlled B/ef/k don't mint a fresh compiled
+    variant per distinct value."""
+    return max(1 << (max(int(n), 1) - 1).bit_length(), minimum)
 
 
 def make_default_mesh(
@@ -137,19 +146,26 @@ class ShardedFlatIndex:
         queries = np.asarray(queries, np.float32)
         B = queries.shape[0]
         dp = self.mesh.shape["dp"]
-        pad_b = (-B) % dp
-        if pad_b:
+        # pow2 B / k ladder: bound compiled-program variants (tunnel rule);
+        # the per-shard top-k needs k <= rows-per-shard
+        per_shard = self._vectors.shape[0] // self.shards
+        k_pad = max(min(_pow2_at_least(k), per_shard), k)
+        padded_b = _pow2_at_least(B, minimum=max(dp, 8))
+        while padded_b % dp:
+            padded_b += 1
+        if padded_b > B:
             queries = np.concatenate(
-                [queries, np.zeros((pad_b, self.dim), np.float32)]
+                [queries,
+                 np.zeros((padded_b - B, self.dim), np.float32)]
             )
         q_sharded = jax.device_put(
             queries, NamedSharding(self.mesh, P("dp", None))
         )
         d, i = _sharded_flat_topk(
             q_sharded, self._vectors, self._sq_norms, self._valid,
-            metric=int(self.metric), k=k, mesh=self.mesh,
+            metric=int(self.metric), k=k_pad, mesh=self.mesh,
         )
-        d, i = np.asarray(d)[:B], np.asarray(i)[:B]
+        d, i = np.asarray(d)[:B, :k], np.asarray(i)[:B, :k]
         out = []
         for b in range(B):
             row = []
@@ -277,6 +293,13 @@ class ShardedHNSWIndex:
         # result assembly is one fancy-index gather instead of a per-hit
         # Python dict walk
         self._slot_ids: Optional[np.ndarray] = None
+        # same discipline as HNSWIndex/FlatIndex: searches overlap under
+        # the read lock, mutations take short exclusive sections, and the
+        # lazy stacked-mirror sync (mutating _parts/_stacked/_slot_ids on
+        # the READ path) is serialized by its own mutex — two concurrent
+        # first-readers after a mutation must not interleave the restack
+        self._rw = RWLock()
+        self._sync_mu = threading.Lock()
 
     def size(self) -> int:
         return sum(sub.size() for sub in self.subs)
@@ -342,40 +365,62 @@ class ShardedHNSWIndex:
             metric=DistanceMetric(state["metric"]),
             mesh=mesh or make_default_mesh(),
         )
-        assert idx.S == len(sub_states), (
-            f"snapshot has {len(sub_states)} shards, mesh has {idx.S}"
-        )
-        idx.subs = [
-            HNSWIndex.import_graph_state(s, use_device=True) for s in sub_states
-        ]
-        idx._id_shard = {
-            vid: s for s, sub in enumerate(idx.subs) for vid in sub.id_to_slot
-        }
+        if idx.S == len(sub_states):
+            idx.subs = [
+                HNSWIndex.import_graph_state(s, use_device=True)
+                for s in sub_states
+            ]
+            idx._id_shard = {
+                vid: s
+                for s, sub in enumerate(idx.subs)
+                for vid in sub.id_to_slot
+            }
+            return idx
+        # shard count changed (snapshot from different hardware / changed
+        # tpu.shard_devices): a crash here would make the snapshot
+        # unrestorable anywhere but the original mesh. Degrade to a
+        # RE-SHARD: rebuild from the snapshots' live vectors (slow — a
+        # fresh bulk build — but correct on any mesh).
+        all_ids: list[int] = []
+        rows: list[np.ndarray] = []
+        for s in sub_states:
+            sub = HNSWIndex.import_graph_state(s, use_device=False)
+            live = sorted(
+                vid for vid in sub.id_to_slot if sub.contains(vid)
+            )
+            all_ids.extend(live)
+            for vid in live:
+                rows.append(sub.get_vector(vid))
+        if all_ids:
+            idx.bulk_insert(all_ids, np.stack(rows))
         return idx
 
     def bulk_insert(self, ids: list[int], vectors: np.ndarray) -> None:
-        vectors = np.asarray(vectors, np.float32)
-        n = len(ids)
-        assign = (self._insert_cursor + np.arange(n)) % self.S
-        for s in range(self.S):
-            sel = np.nonzero(assign == s)[0]
-            if sel.size:
-                shard_ids = [ids[i] for i in sel.tolist()]
-                self.subs[s].bulk_insert(shard_ids, vectors[sel])
-                self._id_shard.update((vid, s) for vid in shard_ids)
-                # the build's single-device mirror is dead weight once the
-                # fused stacked arrays re-sync; free the HBM now
-                self.subs[s]._device = None
-        self._insert_cursor = (self._insert_cursor + n) % self.S
+        with self._rw.write():
+            vectors = np.asarray(vectors, np.float32)
+            n = len(ids)
+            assign = (self._insert_cursor + np.arange(n)) % self.S
+            for s in range(self.S):
+                sel = np.nonzero(assign == s)[0]
+                if sel.size:
+                    shard_ids = [ids[i] for i in sel.tolist()]
+                    self.subs[s].bulk_insert(shard_ids, vectors[sel])
+                    self._id_shard.update((vid, s) for vid in shard_ids)
+                    # the build's single-device mirror is dead weight once
+                    # the fused stacked arrays re-sync; free the HBM now
+                    self.subs[s]._device = None
+            self._insert_cursor = (self._insert_cursor + n) % self.S
 
     def delete(self, vector_id: int) -> bool:
         from scintirete_tpu.errors import ErrorCode, ScintireteError
 
-        sub = self._owner(vector_id)
-        if sub is not None:
-            # soft delete: the id keeps its slot (and shard) until compact,
-            # so _id_shard stays as-is — matches sub.id_to_slot membership
-            return sub.delete(vector_id)
+        with self._rw.write():
+            sub = self._owner(vector_id)
+            if sub is not None:
+                # soft delete: the id keeps its slot (and shard) until
+                # compact, so _id_shard stays as-is — matches
+                # sub.id_to_slot membership
+                return sub.delete(vector_id)
         raise ScintireteError(
             ErrorCode.VECTOR_NOT_FOUND, f"vector not found: {vector_id}"
         )
@@ -450,6 +495,13 @@ class ShardedHNSWIndex:
         )
 
     def _sync(self) -> None:
+        # serialize the mirror mutation: two readers can hit the lazy sync
+        # at once (the loser sees matching versions and no-ops), and the
+        # version snapshot must happen under the mutex
+        with self._sync_mu:
+            self._sync_locked()
+
+    def _sync_locked(self) -> None:
         versions = [sub.store.version for sub in self.subs]
         if self._stacked is not None and versions == self._synced_versions:
             return
@@ -532,40 +584,55 @@ class ShardedHNSWIndex:
     def search_batch(
         self, queries: np.ndarray, params: SearchParams
     ) -> list[list[tuple[int, float]]]:
-        if self.size() == 0:
-            return [[] for _ in range(len(queries))]
-        self._sync()
-        queries = np.asarray(queries, np.float32)
-        B = queries.shape[0]
-        k = params.top_k
-        ef = max(params.ef_search or self.params.ef_search, k)
-        a = self._stacked
+        with self._rw.read():
+            if self.size() == 0:
+                return [[] for _ in range(len(queries))]
+            self._sync()
+            queries = np.asarray(queries, np.float32)
+            B = queries.shape[0]
+            k = params.top_k
+            ef = max(params.ef_search or self.params.ef_search, k)
+            a = self._stacked
 
-        # the dp axis partitions the query batch; pad to a multiple of it
-        dp = self.mesh.shape["dp"]
-        pad_b = (-B) % dp
-        if pad_b:
-            queries = np.concatenate(
-                [queries, np.zeros((pad_b, queries.shape[1]), np.float32)]
+            # bound compiled-program variants (tunnel rule): B rides the
+            # pow2 ladder (also a multiple of dp: dp | device count, a
+            # pow2 here); ef/k are STATIC jit args, so client-controlled
+            # values are padded up the ladder too — a larger beam only
+            # improves recall and distances stay exact; extra hits are
+            # sliced off below
+            dp = self.mesh.shape["dp"]
+            k_pad = _pow2_at_least(k)
+            ef_pad = _pow2_at_least(max(ef, k_pad), minimum=16)
+            padded_b = _pow2_at_least(B, minimum=max(dp, 8))
+            while padded_b % dp:  # non-pow2 dp (e.g. 6 devices, dp=3)
+                padded_b += 1
+            if padded_b > B:
+                queries = np.concatenate(
+                    [queries,
+                     np.zeros((padded_b - B, queries.shape[1]), np.float32)]
+                )
+            q = jax.device_put(
+                queries, NamedSharding(self.mesh, P("dp", None))
             )
-        q = jax.device_put(queries, NamedSharding(self.mesh, P("dp", None)))
-        d, gs = _fused_sharded_search(
-            q,
-            a["vectors"], a["sq_norms"], a["deleted"], a["neighbors0"],
-            a["up_nbrs_cat"], a["up_rows_flat"], a["entry"], a["entry_level"],
-            metric=int(self.metric), ef=ef, k=k, max_steps=ef + 64,
-            mesh=self.mesh,
-        )
-        d, gs = np.asarray(d)[:B], np.asarray(gs)[:B]
-        cap = a["vectors"].shape[1]
-        safe = np.maximum(gs, 0)
-        hit_ids = self._slot_ids[safe // cap, safe % cap]
-        ok = (gs >= 0) & np.isfinite(d)
-        return [
-            [
-                (int(vid), float(dist))
-                for vid, dist, o in zip(hit_ids[b], d[b], ok[b])
-                if o
+            d, gs = _fused_sharded_search(
+                q,
+                a["vectors"], a["sq_norms"], a["deleted"], a["neighbors0"],
+                a["up_nbrs_cat"], a["up_rows_flat"], a["entry"],
+                a["entry_level"],
+                metric=int(self.metric), ef=ef_pad, k=k_pad,
+                max_steps=ef_pad + 64, mesh=self.mesh,
+            )
+            d = np.asarray(d)[:B, :k]
+            gs = np.asarray(gs)[:B, :k]
+            cap = a["vectors"].shape[1]
+            safe = np.maximum(gs, 0)
+            hit_ids = self._slot_ids[safe // cap, safe % cap]
+            ok = (gs >= 0) & np.isfinite(d)
+            return [
+                [
+                    (int(vid), float(dist))
+                    for vid, dist, o in zip(hit_ids[b], d[b], ok[b])
+                    if o
+                ]
+                for b in range(B)
             ]
-            for b in range(B)
-        ]

@@ -99,6 +99,7 @@ class AOFLogger:
         self._last_flush = time.time()
 
     def _flush_loop(self) -> None:
+        errors = 0
         while not self._stop_event.wait(1.0):
             with self._lock:
                 if self._closed:
@@ -106,8 +107,22 @@ class AOFLogger:
                 try:
                     self._fh.flush()
                     os.fsync(self._fh.fileno())
-                except (OSError, ValueError):
-                    return
+                    errors = 0
+                except ValueError:
+                    return  # file handle closed under us: done
+                except OSError as exc:
+                    # a TRANSIENT fsync error (momentary ENOSPC/EIO) must
+                    # not kill the everysec thread for the process
+                    # lifetime — that silently widens the advertised ~1 s
+                    # loss window to unbounded. Log and keep trying.
+                    errors += 1
+                    if errors in (1, 10) or errors % 600 == 0:
+                        import logging
+
+                        logging.getLogger("scintirete.aof").error(
+                            "everysec fsync failed (%d consecutive): %s",
+                            errors, exc,
+                        )
 
     def flush(self) -> None:
         with self._lock:

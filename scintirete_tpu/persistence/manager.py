@@ -164,8 +164,33 @@ class PersistenceManager:
             if self.logger:
                 self.logger.warn("corrupt AOF tail salvaged", **detail)
 
+        def apply(cmd: dict[str, Any]) -> None:
+            # tolerant apply: engine mutations and their AOF appends are
+            # not atomic (reference has the same pattern: mutate, then
+            # log — grpc/vector_ops.go:74-84), so a concurrent
+            # drop/insert race can log commands out of engine order. A
+            # replay failure on one record must degrade with a warning,
+            # not abort startup with an unreplayable log.
+            try:
+                self.engine.apply_command(cmd)
+            except ScintireteError as exc:
+                if self.strict_recovery:
+                    raise
+                detail = {
+                    "source": "aof_apply",
+                    "reason": str(exc),
+                    "command_type": cmd.get("command_type"),
+                    "database": cmd.get("database"),
+                    "collection": cmd.get("collection"),
+                }
+                degraded.append(detail)
+                if self.logger:
+                    self.logger.warn(
+                        "AOF command skipped during replay", **detail
+                    )
+
         replayed = self.aof.replay(
-            self.engine.apply_command,
+            apply,
             salvage=not self.strict_recovery,
             on_salvage=on_salvage,
         )

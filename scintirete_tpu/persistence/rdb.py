@@ -73,7 +73,23 @@ class RDBManager:
 
     @staticmethod
     def validate(state: dict[str, Any]) -> None:
-        """Structural validation (reference: rdb.go:744-789)."""
+        """Structural validation (reference: rdb.go:744-789). Any
+        malformed shape must surface as CORRUPTED_DATA (the degraded
+        recovery path catches ScintireteError and sets the snapshot
+        aside; a bare KeyError/TypeError would abort startup instead)."""
+        try:
+            RDBManager._validate(state)
+        except ScintireteError:
+            raise
+        except Exception as exc:
+            raise ScintireteError(
+                ErrorCode.CORRUPTED_DATA,
+                f"RDB structurally damaged: {exc!r}",
+                cause=exc,
+            )
+
+    @staticmethod
+    def _validate(state: dict[str, Any]) -> None:
         if state.get("version") != "1.0":
             raise ScintireteError(
                 ErrorCode.CORRUPTED_DATA,

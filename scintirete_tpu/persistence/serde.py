@@ -37,8 +37,25 @@ def _default(obj: Any):
 
 
 def _object_hook(obj: dict) -> Any:
-    if obj.get(_ND_KEY):
-        return np.frombuffer(obj["b"], dtype=np.dtype(obj["d"])).reshape(obj["s"]).copy()
+    # strict sentinel check: user metadata is arbitrary (proto Struct), so
+    # a map containing a "__nd__" key must NOT be treated as an ndarray
+    # unless the full encoding contract holds — a loose check turned such
+    # metadata into a KeyError at load time, which replay/load classified
+    # as corruption (silent AOF tail truncation / RDB set-aside)
+    if (
+        obj.get(_ND_KEY) is True
+        and isinstance(obj.get("d"), str)
+        and isinstance(obj.get("s"), list)
+        and isinstance(obj.get("b"), (bytes, bytearray))
+    ):
+        try:
+            return (
+                np.frombuffer(obj["b"], dtype=np.dtype(obj["d"]))
+                .reshape(obj["s"])
+                .copy()
+            )
+        except (ValueError, TypeError):
+            return obj  # not a real encoded array after all
     return obj
 
 

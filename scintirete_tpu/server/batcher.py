@@ -65,6 +65,11 @@ class SearchBatcher:
         """
         if not self.enabled:
             return execute_batch(query[None, :])[0]
+        # the query's dimension is part of the group identity: one
+        # wrong-dimension request must fail ALONE with its own
+        # dimension_mismatch, not poison np.stack / the whole fused
+        # dispatch for every other client coalesced under the same key
+        key = (key, int(query.shape[-1]))
         pending = _Pending(query)
         flush_now = None
         with self._lock:

@@ -122,3 +122,41 @@ class TestBatcher:
             "k", np.array([3.0], np.float32), lambda q: [float(q[0, 0])]
         )
         assert out == 3.0
+
+
+class TestDimIsolation:
+    def test_wrong_dim_request_fails_alone(self):
+        """A wrong-dimension query must not poison other clients' requests
+        coalesced under the same key: dimension is part of the group
+        identity, so np.stack never mixes dims and only the bad group's
+        waiters see its error."""
+        def execute(queries):
+            if queries.shape[1] != 4:
+                raise ValueError("bad dim batch")
+            return [1.0] * len(queries)
+
+        batcher = SearchBatcher(max_batch=64, max_delay_ms=20)
+        try:
+            results = {}
+            errors = {}
+
+            def worker(i, dim):
+                q = np.zeros(dim, np.float32)
+                try:
+                    results[i] = batcher.submit("k", q, execute)
+                except BaseException as exc:
+                    errors[i] = exc
+
+            threads = [
+                threading.Thread(target=worker, args=(i, 4 if i != 3 else 7))
+                for i in range(8)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert sorted(results) == [0, 1, 2, 4, 5, 6, 7]
+            assert all(v == 1.0 for v in results.values())
+            assert set(errors) == {3}
+        finally:
+            batcher.stop()

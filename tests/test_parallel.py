@@ -265,3 +265,60 @@ class TestShardedBuildAndSync:
         rb = b.search_batch(queries, SearchParams(top_k=5))
         for x, y in zip(ra, rb):
             assert [h[0] for h in x] == [h[0] for h in y]
+
+
+class TestReshardRestore:
+    def test_restore_on_different_shard_count(self, rng):
+        """A sharded snapshot taken on one mesh must restore on a mesh
+        with a different shard count (re-shard by rebuild) instead of
+        crashing — snapshots travel across hardware."""
+        from scintirete_tpu.parallel.sharded import (
+            ShardedHNSWIndex, make_default_mesh,
+        )
+
+        idx = ShardedHNSWIndex(
+            dim=12,
+            params=HNSWParams(m=8, ef_construction=40, ef_search=40, seed=2),
+            metric=DistanceMetric.L2,
+            mesh=make_default_mesh(4),
+        )
+        vecs = rng.standard_normal((200, 12)).astype(np.float32)
+        ids = list(range(1, 201))
+        idx.bulk_insert(ids, vecs)
+        idx.delete(7)
+        state = idx.export_graph_state()
+
+        idx2 = ShardedHNSWIndex.import_graph_state(
+            state,
+            params=HNSWParams(m=8, ef_construction=40, ef_search=40, seed=2),
+            mesh=make_default_mesh(2),
+        )
+        assert idx2.S == 2
+        assert idx2.size() == 199
+        assert not idx2.contains(7)
+        res = idx2.search_batch(vecs[:4], SearchParams(top_k=3))
+        assert [r[0][0] for r in res[1:]] == ids[1:4]  # id 1's row 0 ok too
+        assert res[0][0][0] == 1
+
+
+class TestShardedProgramLadder:
+    def test_pow2_padding_results_unchanged(self, rng):
+        """Padding B/ef/k up the pow2 ladder (program-count rule) must not
+        change returned results: larger beams only improve recall and
+        hits are sliced back to top_k."""
+        from scintirete_tpu.parallel.sharded import (
+            ShardedHNSWIndex, make_default_mesh,
+        )
+
+        idx = ShardedHNSWIndex(
+            dim=12,
+            params=HNSWParams(m=8, ef_construction=40, ef_search=40, seed=3),
+            metric=DistanceMetric.L2,
+            mesh=make_default_mesh(4),
+        )
+        vecs = rng.standard_normal((240, 12)).astype(np.float32)
+        idx.bulk_insert(list(range(1, 241)), vecs)
+        # odd B, odd k, odd ef: all get padded internally
+        res = idx.search_batch(vecs[:5], SearchParams(top_k=3, ef_search=19))
+        assert all(len(r) == 3 for r in res)
+        assert [r[0][0] for r in res] == [1, 2, 3, 4, 5]

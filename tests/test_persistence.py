@@ -505,3 +505,100 @@ class TestAdminCLI:
         assert rep["totals"]["est_host_ram_bytes"] >= col["snapshot_bytes"]
         # missing RDB -> error exit
         assert admin(["-data-dir", str(tmp_path), "memstat"]) == 1
+
+
+class TestReviewHardening:
+    """Round-3 deep-review fixes: recovery must degrade, never crash, on
+    log/snapshot damage or races the write path permits."""
+
+    def test_metadata_nd_sentinel_key_roundtrips(self, tmp_path, rng):
+        """User metadata containing the serializer's '__nd__' sentinel key
+        must survive a save/recover cycle (a loose sentinel check used to
+        raise at decode, classified as corruption -> silent data loss)."""
+        engine, pm = make_manager(tmp_path)
+        db = engine.create_database("db")
+        col = db.create_collection(CFG())
+        evil = {"__nd__": True, "note": "user data"}
+        ids = col.insert([([1.0] * 8, evil)])
+        pm.log_create_database("db")
+        pm.log_create_collection("db", "c", {"metric": 1, "hnsw": {}})
+        pm.log_insert_vectors("db", "c", [
+            {"id": ids[0], "elements": [1.0] * 8, "metadata": evil}
+        ])
+        pm.stop()
+        engine2, pm2 = make_manager(tmp_path)
+        info = pm2.recover()
+        assert not info["degraded"]
+        got = engine2.get_database("db").get_collection("c").get(ids[0])
+        assert got.metadata == evil
+        pm2.stop()
+
+    def test_structurally_damaged_rdb_sets_aside(self, tmp_path, rng):
+        """A decodable snapshot with a missing required graph field must go
+        down the degraded path (set aside + AOF-only recovery), not abort
+        startup with a KeyError."""
+        from scintirete_tpu.persistence import serde
+
+        engine, pm = make_manager(tmp_path)
+        populate(engine, rng, n=5)
+        pm.save_snapshot()
+        pm.stop()
+        path = pm.rdb.path
+        from scintirete_tpu.persistence.rdb import MAGIC
+        raw = open(path, "rb").read()
+        state = serde.loads(raw[len(MAGIC):])
+        graph = next(
+            iter(next(iter(state["databases"].values()))
+                 ["collections"].values())
+        )["graph"]
+        del graph["count"]
+        with open(path, "wb") as fh:
+            fh.write(MAGIC)
+            fh.write(serde.dumps(state))
+
+        engine2, pm2 = make_manager(tmp_path)
+        info = pm2.recover()
+        assert any(d["source"] == "rdb" for d in info["degraded"])
+        assert not info["rdb_loaded"]
+        pm2.stop()
+
+    def test_out_of_order_aof_degrades_not_aborts(self, tmp_path, rng):
+        """Engine mutations and AOF appends are not atomic: a replay
+        failure on one record (insert after drop) must warn and continue,
+        not make the whole log unreplayable."""
+        engine, pm = make_manager(tmp_path)
+        col, data, ids = populate(engine, rng, n=3)
+        pm.log_create_database("db")
+        # simulate the race: the drop won the AOF gate before an insert
+        pm.log_drop_collection("db", "c")
+        pm.log_insert_vectors("db", "c", [
+            {"id": 99, "elements": [0.0] * 8, "metadata": None}
+        ])
+        pm.stop()
+        engine2, pm2 = make_manager(tmp_path)
+        info = pm2.recover()
+        assert any(d["source"] == "aof_apply" for d in info["degraded"])
+        assert "db" in engine2.list_databases()
+        pm2.stop()
+        # strict mode still refuses
+        engine3, pm3 = make_manager(tmp_path, strict_recovery=True)
+        with pytest.raises(ScintireteError):
+            pm3.recover()
+        pm3.stop()
+
+    def test_rewrite_preserves_next_id_high_water(self, tmp_path, rng):
+        """AOF rewrite only streams live vectors; the auto-ID high-water
+        mark must ride along or a restart reuses deleted vectors' ids."""
+        engine, pm = make_manager(tmp_path, aof_rewrite_size_bytes=1)
+        col, data, ids = populate(engine, rng, n=10)
+        pm.log_create_database("db")
+        pm.log_create_collection("db", "c", {"metric": 1, "hnsw": {}})
+        col.delete([ids[-1]])  # delete the highest id
+        assert pm.maybe_rewrite_aof()
+        pm.stop()
+        engine2, pm2 = make_manager(tmp_path)
+        pm2.recover()
+        col2 = engine2.get_database("db").get_collection("c")
+        new_ids = col2.insert([([2.0] * 8, None)])
+        assert new_ids[0] > max(ids)  # not a reused id
+        pm2.stop()
