@@ -36,25 +36,34 @@ def _memstat(state: dict) -> dict:
         dbrep: dict = {}
         for cname, col in (db.get("collections") or {}).items():
             g = col.get("graph") or {}
-            kind = g.get("kind", "hnsw")
-            n = int(g.get("count", 0))
-            cap = _next_pow2(n)
-            dim = int(g.get("dim", 0) or 0)
-            arrays = {}
-            for key in ("vectors", "levels", "deleted", "neighbors0",
-                        "slot_to_id"):
-                a = g.get(key)
-                if a is not None and hasattr(a, "nbytes"):
-                    arrays[key] = int(a.nbytes)
-            layer_bytes = sum(
-                int(ls["node_slot"].nbytes) + int(ls["nbrs"].nbytes)
-                for ls in g.get("layers", ())
-                if hasattr(ls.get("node_slot"), "nbytes")
-            )
-            if layer_bytes:
-                arrays["upper_layers"] = layer_bytes
+            # sharded snapshots nest one graph dict per shard; aggregate
+            # them (a naive top-level read would report ~zero for a
+            # collection holding millions of vectors)
+            shards = g.get("shards") if g.get("sharded") else None
+            graphs = list(shards) if shards else [g]
+            kind = graphs[0].get("kind", "hnsw")
+            n = sum(int(sg.get("count", 0)) for sg in graphs)
+            live = sum(int(sg.get("live", sg.get("count", 0))) for sg in graphs)
+            cap = sum(_next_pow2(int(sg.get("count", 0))) for sg in graphs)
+            dim = int(graphs[0].get("dim", g.get("dim", 0)) or 0)
+            arrays: dict = {}
+            for sg in graphs:
+                for key in ("vectors", "levels", "deleted", "neighbors0",
+                            "slot_to_id"):
+                    a = sg.get(key)
+                    if a is not None and hasattr(a, "nbytes"):
+                        arrays[key] = arrays.get(key, 0) + int(a.nbytes)
+                layer_bytes = sum(
+                    int(ls["node_slot"].nbytes) + int(ls["nbrs"].nbytes)
+                    for ls in sg.get("layers", ())
+                    if hasattr(ls.get("node_slot"), "nbytes")
+                )
+                if layer_bytes:
+                    arrays["upper_layers"] = (
+                        arrays.get("upper_layers", 0) + layer_bytes
+                    )
             snap = sum(arrays.values())
-            params = g.get("params") or {}
+            params = graphs[0].get("params") or {}
             m = int(params.get("m", 16))
             if kind == "flat":
                 # vectors f32 + deleted + slot_to_id + id dict
@@ -69,8 +78,9 @@ def _memstat(state: dict) -> dict:
             meta = col.get("metadata") or {}
             dbrep[cname] = {
                 "kind": kind,
+                "shards": len(graphs) if shards else None,
                 "count": n,
-                "live": int(g.get("live", n)),
+                "live": live,
                 "dim": dim,
                 "capacity_next_pow2": cap,
                 "snapshot_bytes": snap,

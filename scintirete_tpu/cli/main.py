@@ -300,7 +300,7 @@ def main(argv=None) -> int:
         try:
             print(cli.execute(" ".join(shlex.quote(c) for c in args.command)))
             return 0
-        except (ValueError, json.JSONDecodeError) as exc:
+        except (ValueError, TypeError, json.JSONDecodeError) as exc:
             print(f"error: {exc}", file=sys.stderr)
             return 1
         except grpc.RpcError as exc:
@@ -329,7 +329,7 @@ def main(argv=None) -> int:
             out = cli.execute(line)
             if out:
                 print(out)
-        except (ValueError, json.JSONDecodeError) as exc:
+        except (ValueError, TypeError, json.JSONDecodeError) as exc:
             print(f"error: {exc}")
         except grpc.RpcError as exc:
             print(f"rpc error: {exc.code().name}: {exc.details()}")

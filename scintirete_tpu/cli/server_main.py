@@ -18,6 +18,7 @@ import sys
 import threading
 
 from scintirete_tpu.config import load_config
+from scintirete_tpu.errors import ScintireteError
 from scintirete_tpu.observability.audit import AuditLogger
 from scintirete_tpu.observability.logger import StructuredLogger
 from scintirete_tpu.observability.metrics import MetricsRegistry, MetricsServer
@@ -44,7 +45,12 @@ def main(argv=None) -> int:
     )
     args = parser.parse_args(argv)
 
-    cfg = load_config(args.config)
+    try:
+        cfg = load_config(args.config)
+    except ScintireteError as exc:
+        # reference main.go: bad config is a one-line fatal, not a traceback
+        print(f"failed to load config: {exc}", file=sys.stderr)
+        return 1
     if args.log_level:
         cfg.log.level = args.log_level
     logger = StructuredLogger.from_config(cfg.log)
@@ -68,11 +74,16 @@ def main(argv=None) -> int:
     from scintirete_tpu.server.service import ScintireteService
 
     if not args.no_device:
+        # persistent XLA compile cache FIRST (before any backend touch):
+        # without it every server restart recompiles all kernel variants
+        # from scratch — tens of seconds to minutes EACH over a tunneled
+        # TPU — instead of loading cached executables
+        from scintirete_tpu.utils import enable_compilation_cache, prewarm
+
+        enable_compilation_cache()
         # pay TPU backend init + the first-transfer channel setup while
         # recovery replays the AOF/RDB (it is 18-77 s over a tunneled
         # TPU and would otherwise land inside the first client request)
-        from scintirete_tpu.utils import prewarm
-
         prewarm.warm_runtime_async()
 
     service = ScintireteService(
@@ -112,6 +123,15 @@ def main(argv=None) -> int:
         cpu_threshold=cfg.monitoring.cpu_threshold,
         memory_threshold_bytes=cfg.monitoring.memory_threshold * 1024 * 1024,
         enabled=cfg.monitoring.enabled,
+        # --no-device must hold: HBM sampling calls jax.devices(), which
+        # would initialize (and seize) the single TPU from the monitor
+        # thread even in host-only mode
+        sample_device=not args.no_device,
+        cpu_enabled=cfg.monitoring.cpu_enabled,
+        memory_enabled=cfg.monitoring.memory_enabled,
+        disk_enabled=cfg.monitoring.disk_enabled,
+        disk_threshold_bytes=cfg.monitoring.disk_threshold * 1024 * 1024,
+        disk_path=cfg.persistence.data_dir,
     )
     monitor.start()
 

@@ -144,6 +144,16 @@ class Config:
         def fail(msg: str) -> None:
             raise ScintireteError(ErrorCode.CONFIG, msg)
 
+        try:
+            self._validate(fail)
+        except ScintireteError:
+            raise
+        except TypeError as exc:
+            # wrong-typed TOML values (grpc_port = "9090") must surface
+            # as the CONFIG error contract, not a raw comparison TypeError
+            fail(f"wrong-typed config value: {exc}")
+
+    def _validate(self, fail) -> None:
         for port_name, port in (
             ("server.grpc_port", self.server.grpc_port),
             ("server.http_port", self.server.http_port),
@@ -182,6 +192,14 @@ class Config:
             fail("tpu.build_chunk_size must be > 0")
         if self.tpu.search_batch_size <= 0:
             fail("tpu.search_batch_size must be > 0")
+        if self.monitoring.interval <= 0:
+            fail("monitoring.interval must be > 0")
+        if not (0 < self.monitoring.cpu_threshold <= 1.0):
+            fail("monitoring.cpu_threshold must be in (0, 1]")
+        if self.monitoring.memory_threshold <= 0:
+            fail("monitoring.memory_threshold must be > 0")
+        if self.monitoring.disk_threshold <= 0:
+            fail("monitoring.disk_threshold must be > 0")
 
     def resolve_paths(self, base_dir: str) -> None:
         """Make persistence paths absolute relative to `base_dir`

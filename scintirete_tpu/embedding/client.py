@@ -99,7 +99,7 @@ class EmbeddingClient:
         )
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-                body = json.loads(resp.read().decode())
+                raw = resp.read()
         except urllib.error.HTTPError as exc:
             detail = exc.read().decode(errors="replace")[:500]
             raise ScintireteError(
@@ -113,28 +113,44 @@ class EmbeddingClient:
                 f"embedding API unreachable: {exc}",
                 cause=exc,
             )
-        data = body.get("data")
-        if not isinstance(data, list) or len(data) != len(texts):
-            raise ScintireteError(
-                ErrorCode.EMBEDDING_API_FAILED,
-                "embedding API returned malformed data",
-                details={"expected": len(texts), "got": len(data) if data else 0},
-            )
-        # order by returned index (reference: client.go parses data[].index)
-        out: list[Optional[list[float]]] = [None] * len(texts)
-        for item in data:
-            idx = int(item["index"])
-            if not (0 <= idx < len(texts)):
+        # everything below parses UNTRUSTED response bytes: any shape
+        # surprise (HTML body behind a proxy, data: 123, missing keys)
+        # must surface as EMBEDDING_API_FAILED, not a raw
+        # JSONDecodeError/TypeError/KeyError through the gRPC layer
+        try:
+            body = json.loads(raw.decode(errors="replace"))
+            data = body.get("data") if isinstance(body, dict) else None
+            if not isinstance(data, list) or len(data) != len(texts):
+                got = len(data) if isinstance(data, list) else repr(data)[:80]
                 raise ScintireteError(
                     ErrorCode.EMBEDDING_API_FAILED,
-                    f"embedding API returned out-of-range index {idx}",
+                    "embedding API returned malformed data",
+                    details={"expected": len(texts), "got": got},
                 )
-            out[idx] = [float(x) for x in item["embedding"]]
-        if any(v is None for v in out):
+            # order by returned index (reference: client.go data[].index)
+            out: list[Optional[list[float]]] = [None] * len(texts)
+            for item in data:
+                idx = int(item["index"])
+                if not (0 <= idx < len(texts)):
+                    raise ScintireteError(
+                        ErrorCode.EMBEDDING_API_FAILED,
+                        f"embedding API returned out-of-range index {idx}",
+                    )
+                out[idx] = [float(x) for x in item["embedding"]]
+            if any(v is None for v in out):
+                raise ScintireteError(
+                    ErrorCode.EMBEDDING_API_FAILED,
+                    "embedding API missing indices",
+                )
+            return out  # type: ignore[return-value]
+        except ScintireteError:
+            raise
+        except Exception as exc:
             raise ScintireteError(
-                ErrorCode.EMBEDDING_API_FAILED, "embedding API missing indices"
+                ErrorCode.EMBEDDING_API_FAILED,
+                f"embedding API response unparseable: {exc}",
+                cause=exc,
             )
-        return out  # type: ignore[return-value]
 
     def get_single_embedding(
         self, text: str, model: Optional[str] = None
@@ -149,7 +165,14 @@ class EmbeddingClient:
     ) -> list[tuple[list[float], Optional[dict[str, Any]]]]:
         """Zip texts+metadata with their embeddings, ready for
         Collection.insert (reference: client.go:207-247)."""
-        embeddings = self.get_embeddings(texts, model)
         if metadatas is None:
             metadatas = [None] * len(texts)
+        if len(metadatas) != len(texts):
+            # zip would silently truncate to the shorter sequence,
+            # dropping embeddings without any error
+            raise ScintireteError(
+                ErrorCode.INVALID_PARAMETER,
+                f"{len(texts)} texts but {len(metadatas)} metadata entries",
+            )
+        embeddings = self.get_embeddings(texts, model)
         return list(zip(embeddings, metadatas))

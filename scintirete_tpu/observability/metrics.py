@@ -21,10 +21,24 @@ LATENCY_BUCKETS = (
 )
 
 
+def _esc_label(v: str) -> str:
+    """Prometheus text-format label escaping: backslash, double quote and
+    newline must be escaped or one hostile collection name (e.g. 'a\"b')
+    corrupts the whole /metrics page for every scraper."""
+    return (
+        str(v)
+        .replace("\\", "\\\\")
+        .replace('"', '\\"')
+        .replace("\n", "\\n")
+    )
+
+
 def _fmt_labels(labels: dict[str, str]) -> str:
     if not labels:
         return ""
-    inner = ",".join(f'{k}="{v}"' for k, v in sorted(labels.items()))
+    inner = ",".join(
+        f'{k}="{_esc_label(v)}"' for k, v in sorted(labels.items())
+    )
     return "{" + inner + "}"
 
 

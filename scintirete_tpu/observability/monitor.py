@@ -60,13 +60,25 @@ class SystemMonitor:
         memory_threshold_bytes: int = 1024 * 1024 * 1024,
         enabled: bool = False,
         sample_device: bool = True,
+        cpu_enabled: bool = True,
+        memory_enabled: bool = True,
+        disk_enabled: bool = False,
+        disk_threshold_bytes: int = 10 * 1024 * 1024 * 1024,
+        disk_path: str = ".",
     ):
         self.logger = logger
-        self.interval = interval_seconds
+        # clamp: interval<=0 would make _loop's Event.wait(0) busy-spin,
+        # pegging the (1-core) serving box
+        self.interval = max(float(interval_seconds), 1.0)
         self.cpu_threshold = cpu_threshold
         self.memory_threshold_bytes = memory_threshold_bytes
         self.enabled = enabled
         self.sample_device = sample_device
+        self.cpu_enabled = cpu_enabled
+        self.memory_enabled = memory_enabled
+        self.disk_enabled = disk_enabled
+        self.disk_threshold_bytes = disk_threshold_bytes
+        self.disk_path = disk_path
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         # baseline from current process counters so the first sample's
@@ -89,13 +101,34 @@ class SystemMonitor:
                 stats["device"] = dev
         self.last_sample = stats
 
-        if cpu_util > self.cpu_threshold:
+        if self.disk_enabled:
+            try:
+                import shutil
+
+                du = shutil.disk_usage(self.disk_path)
+                stats["disk_used_bytes"] = du.used
+                stats["disk_free_bytes"] = du.free
+                if du.used > self.disk_threshold_bytes:
+                    self.logger.warn(
+                        "disk usage above threshold",
+                        used_mb=du.used // (1024 * 1024),
+                        threshold_mb=self.disk_threshold_bytes
+                        // (1024 * 1024),
+                        path=self.disk_path,
+                    )
+            except OSError:
+                pass
+
+        if self.cpu_enabled and cpu_util > self.cpu_threshold:
             self.logger.warn(
                 "cpu utilization above threshold",
                 utilization=round(cpu_util, 3),
                 threshold=self.cpu_threshold,
             )
-        if stats["rss_bytes"] > self.memory_threshold_bytes:
+        if (
+            self.memory_enabled
+            and stats["rss_bytes"] > self.memory_threshold_bytes
+        ):
             self.logger.warn(
                 "memory usage above threshold",
                 rss_mb=stats["rss_bytes"] // (1024 * 1024),

@@ -495,3 +495,64 @@ class TestRateLimiting:
             assert exc.value.code == ErrorCode.RATE_LIMITED
         finally:
             svc.stop()
+
+
+class TestEmbeddingRobustness:
+    """Malformed embedding-API responses must surface as typed errors
+    (EMBEDDING_API_FAILED), never raw JSONDecodeError/TypeError/KeyError."""
+
+    def _client(self, url):
+        from scintirete_tpu.config import Config, EmbeddingModel
+        from scintirete_tpu.embedding.client import EmbeddingClient
+
+        cfg = Config()
+        cfg.embedding.base_url = url
+        cfg.embedding.api_key = "k"
+        cfg.embedding.default_model = "fake-model"
+        cfg.embedding.models = [
+            EmbeddingModel(id="fake-model", name="F", dimension=8,
+                           available=True)
+        ]
+        return EmbeddingClient(cfg.embedding)
+
+    @pytest.mark.parametrize("body", [
+        b"<html>proxy error</html>",      # not JSON at all
+        b'{"data": 123}',                  # unsized truthy data
+        b'{"data": [{"nope": 1}]}',        # missing index/embedding keys
+        b'[1, 2, 3]',                      # non-dict body
+    ])
+    def test_malformed_responses_typed(self, body):
+        from scintirete_tpu.errors import ErrorCode, ScintireteError
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):
+                length = int(self.headers.get("Content-Length") or 0)
+                self.rfile.read(length)
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *args):
+                pass
+
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            client = self._client(
+                f"http://127.0.0.1:{httpd.server_address[1]}/v1/embeddings"
+            )
+            with pytest.raises(ScintireteError) as exc:
+                client.get_embeddings(["hello"])
+            assert exc.value.code == ErrorCode.EMBEDDING_API_FAILED
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+
+    def test_metadata_length_mismatch_rejected(self, fake_embed):
+        from scintirete_tpu.errors import ScintireteError
+
+        client = self._client(fake_embed.url)
+        with pytest.raises(ScintireteError):
+            client.texts_to_vectors(["a", "b", "c"], metadatas=[{}, {}])

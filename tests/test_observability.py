@@ -111,3 +111,43 @@ class TestMonitor:
         mon.start()  # no-op when disabled
         assert mon._thread is None
         mon.stop()
+
+
+class TestLabelEscaping:
+    def test_hostile_label_values_escaped(self):
+        from scintirete_tpu.observability.metrics import MetricsRegistry
+
+        reg = MetricsRegistry()
+        reg.requests_total.inc(collection='a"b\\c\nd')
+        text = reg.expose_text()
+        line = next(
+            ln for ln in text.splitlines()
+            if ln.startswith("scintirete_requests_total{")
+        )
+        assert '\\"' in line and "\\\\" in line and "\\n" in line
+        assert "\n" not in line  # the raw newline never leaks into the line
+
+
+class TestMonitorKnobs:
+    def test_interval_clamped_and_flags_honored(self, tmp_path):
+        from scintirete_tpu.observability.logger import StructuredLogger
+        from scintirete_tpu.observability.monitor import SystemMonitor
+
+        warns = []
+
+        class L(StructuredLogger):
+            def warn(self, msg, **kw):
+                warns.append(msg)
+
+        mon = SystemMonitor(
+            L("warn"), interval_seconds=0,  # would busy-spin unclamped
+            cpu_threshold=0.0001, memory_threshold_bytes=1,
+            cpu_enabled=False, memory_enabled=False,
+            disk_enabled=True, disk_threshold_bytes=1,
+            disk_path=str(tmp_path), sample_device=False,
+        )
+        assert mon.interval >= 1.0
+        stats = mon.sample_once()
+        assert "disk_used_bytes" in stats
+        # cpu/memory warnings suppressed by their flags; disk fires
+        assert warns == ["disk usage above threshold"]

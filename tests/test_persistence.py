@@ -602,3 +602,45 @@ class TestReviewHardening:
         new_ids = col2.insert([([2.0] * 8, None)])
         assert new_ids[0] > max(ids)  # not a reused id
         pm2.stop()
+
+
+class TestMemstatSharded:
+    def test_memstat_aggregates_sharded_graphs(self):
+        """Sharded snapshots nest per-shard graph dicts; memstat must
+        aggregate them, not report ~zero for the whole collection."""
+        from scintirete_tpu.cli.admin_main import _memstat
+
+        sub = {
+            "kind": "hnsw",
+            "count": 1000,
+            "live": 990,
+            "dim": 16,
+            "vectors": np.zeros((1000, 16), np.float32),
+            "levels": np.zeros(1000, np.int8),
+            "deleted": np.zeros(1000, bool),
+            "neighbors0": np.zeros((1000, 16), np.int32),
+            "params": {"m": 8},
+        }
+        state = {
+            "version": "1.0",
+            "databases": {
+                "db": {
+                    "collections": {
+                        "c": {
+                            "graph": {
+                                "sharded": True,
+                                "dim": 16,
+                                "metric": 1,
+                                "shards": [dict(sub), dict(sub)],
+                            },
+                            "metadata": {},
+                        }
+                    }
+                }
+            },
+        }
+        rep = _memstat(state)["databases"]["db"]["c"]
+        assert rep["count"] == 2000
+        assert rep["live"] == 1980
+        assert rep["shards"] == 2
+        assert rep["snapshot_bytes"] >= 2 * sub["vectors"].nbytes

@@ -149,3 +149,25 @@ class TestConfig:
     def test_missing_file(self):
         with pytest.raises(ScintireteError):
             load_config("/nonexistent/cfg.toml")
+
+
+class TestConfigHardening:
+    def test_wrong_typed_value_is_config_error(self, tmp_path):
+        from scintirete_tpu.config import load_config
+        from scintirete_tpu.errors import ErrorCode, ScintireteError
+
+        p = tmp_path / "c.toml"
+        p.write_text('[server]\ngrpc_port = "9090"\n')
+        with pytest.raises(ScintireteError) as exc:
+            load_config(str(p))
+        assert exc.value.code == ErrorCode.CONFIG
+
+    def test_monitoring_interval_validated(self, tmp_path):
+        from scintirete_tpu.config import load_config
+        from scintirete_tpu.errors import ErrorCode, ScintireteError
+
+        p = tmp_path / "c.toml"
+        p.write_text("[monitoring]\nenabled = true\ninterval = 0\n")
+        with pytest.raises(ScintireteError) as exc:
+            load_config(str(p))
+        assert exc.value.code == ErrorCode.CONFIG
