@@ -363,6 +363,46 @@ def _search_kernel_pivot(
 
 @functools.partial(
     jax.jit,
+    static_argnames=(
+        "metric", "ef", "k", "max_steps", "expand", "use_pallas",
+    ),
+)
+def _search_kernel_pivot_chunked(
+    queries3,  # [C, mb, D] — C sub-batches of mb queries
+    vectors,
+    sq_norms,
+    deleted,
+    neighbors0,
+    pivots,
+    pivot_vecs,
+    pivot_sq,
+    metric: int,
+    ef: int,
+    k: int,
+    max_steps: int,
+    expand: int = SEARCH_EXPAND,
+    use_pallas: bool = False,
+):
+    """One-dispatch serving pass: lax.scan drives the pivot search kernel
+    over C sub-batches INSIDE one program, so a whole pass pays ONE tunnel
+    dispatch + ONE query upload instead of C of each (SCNT_FUSE_SUBBATCH).
+    Per-chunk math is exactly _search_kernel_pivot; only the dispatch
+    granularity changes. Returns (dists [C, mb, k], slots [C, mb, k])."""
+
+    def step(_, q):
+        d, s, _steps = _search_kernel_pivot(
+            q, vectors, sq_norms, deleted, neighbors0, pivots,
+            pivot_vecs, pivot_sq, metric=metric, ef=ef, k=k,
+            max_steps=max_steps, expand=expand, use_pallas=use_pallas,
+        )
+        return None, (d, s)
+
+    _, (ds, ss) = jax.lax.scan(step, None, queries3)
+    return ds, ss
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("metric", "ef", "k", "max_steps", "expand"),
 )
 def _search_kernel(
@@ -841,6 +881,41 @@ class DeviceIndex:
             if os.environ.get("SCNT_QUERY_F16", "0") == "1"
             else jnp.float32
         )
+        # fused sub-batches: scan the pivot kernel over chunks inside ONE
+        # program — one dispatch + one query upload per pass instead of
+        # B/max_batch of each (the tunnel charges per transfer/dispatch)
+        fuse = (
+            os.environ.get("SCNT_FUSE_SUBBATCH", "0") == "1"
+            and entry_mode == "pivot"
+            and B > self.max_batch
+            and self.max_batch & (self.max_batch - 1) == 0
+        )
+        if fuse:
+            mb = self.max_batch
+            padded_b = max(1 << (B - 1).bit_length(), mb)
+            chunk = queries
+            if padded_b > B:
+                chunk = np.concatenate(
+                    [queries,
+                     np.zeros((padded_b - B, queries.shape[1]), np.float32)]
+                )
+            q3 = jnp.asarray(chunk, up_dtype).reshape(
+                padded_b // mb, mb, queries.shape[1]
+            )
+            use_pallas = (
+                jax.default_backend() == "tpu"
+                and a["pivots"].shape[0] % 512 == 0
+            )
+            d, s = _search_kernel_pivot_chunked(
+                q3, a["vectors"], a["sq_norms"], a["deleted"],
+                a["neighbors0"], a["pivots"], a["pivot_vecs"], a["pivot_sq"],
+                metric=int(store.metric), ef=ef, k=k, max_steps=max_steps,
+                expand=expand, use_pallas=use_pallas,
+            )
+            d = d.reshape(padded_b, k)
+            s = s.reshape(padded_b, k)
+            packed = _pack_deferred([d], [s])
+            return (B, k, [(0, B, padded_b)], packed)
         for start in range(0, B, self.max_batch):
             chunk = queries[start : start + self.max_batch]
             n = chunk.shape[0]

@@ -185,13 +185,20 @@ def s5_hnsw():
         q = queries_of(b)
         for f16 in (0, 1):
             env("SCNT_QUERY_F16", f16 or None)
-            hidx.search_batch(q, hp)  # warm
-            t0 = time.time()
-            hidx.search_batch_pipelined([q] * PASSES, hp, depth=2)
-            per = (time.time() - t0) / PASSES
-            print(f"  hnsw B={b} f16={f16} depth2: {per*1e3:.0f}ms/pass"
-                  f" -> {b/per:.0f} QPS", flush=True)
+            for fuse in (0, 1):
+                # fuse=1: lax.scan over sub-batches in ONE program — one
+                # dispatch + one query upload per pass instead of B/256
+                env("SCNT_FUSE_SUBBATCH", fuse or None)
+                hidx.search_batch(q, hp)  # warm
+                t0 = time.time()
+                hidx.search_batch_pipelined([q] * PASSES, hp, depth=2)
+                per = (time.time() - t0) / PASSES
+                print(
+                    f"  hnsw B={b} f16={f16} fuse={fuse} depth2: "
+                    f"{per*1e3:.0f}ms/pass -> {b/per:.0f} QPS", flush=True,
+                )
         env("SCNT_QUERY_F16", None)
+        env("SCNT_FUSE_SUBBATCH", None)
 
 
 def s6_append():

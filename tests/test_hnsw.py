@@ -383,6 +383,30 @@ class TestPivotEntry:
         )
         assert overlap / (16 * k) >= 0.9
 
+    def test_fused_subbatch_matches_chunked(self, rng, monkeypatch):
+        """SCNT_FUSE_SUBBATCH scans the pivot kernel over sub-batches in
+        ONE program (one dispatch/upload per pass over the tunnel); its
+        results must be bit-identical to the per-chunk dispatch path,
+        including a non-multiple remainder batch."""
+        n, dim, k = 400, 16, 10
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        idx = HNSWIndex(
+            dim=dim,
+            params=HNSWParams(m=8, ef_construction=80, ef_search=60, seed=5),
+            metric=DistanceMetric.COSINE,
+            use_device=True,
+            search_batch_size=16,
+        )
+        idx.bulk_insert(list(range(1, n + 1)), vecs)
+        queries = rng.standard_normal((41, dim)).astype(np.float32)
+        dev = idx._get_device()
+        monkeypatch.delenv("SCNT_FUSE_SUBBATCH", raising=False)
+        s_c, d_c = dev.search(idx.store, queries, k, 60, entry_mode="pivot")
+        monkeypatch.setenv("SCNT_FUSE_SUBBATCH", "1")
+        s_f, d_f = dev.search(idx.store, queries, k, 60, entry_mode="pivot")
+        np.testing.assert_array_equal(s_f, s_c)
+        np.testing.assert_allclose(d_f, d_c, rtol=1e-6, atol=1e-7)
+
     def test_pivot_excludes_deleted(self, rng):
         n, dim = 300, 16
         vecs = rng.standard_normal((n, dim)).astype(np.float32)
