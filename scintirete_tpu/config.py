@@ -123,6 +123,11 @@ class TPUConfig:
     device_search_min_size: int = 4096
     # number of devices to shard large collections over (1 = single chip)
     shard_devices: int = 1
+    # after recovery, warm the search programs of every restored collection
+    # in the background (a fresh process otherwise pays per-shape program
+    # loads — seconds to minutes over a tunneled TPU — inside the FIRST
+    # client query)
+    warm_search_on_start: bool = True
 
 
 @dataclasses.dataclass

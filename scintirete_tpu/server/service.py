@@ -102,6 +102,9 @@ class ScintireteService:
         )
         self.audit = audit or AuditLogger(enabled=False)
         self.metrics = metrics or MetricsRegistry()
+        self._use_device = use_device
+        self._warm_thread = None
+        self._warm_info: Optional[dict[str, Any]] = None
         # coalesce concurrent single-query RPCs into one device dispatch
         self.batcher = SearchBatcher(
             max_batch=config.tpu.search_batch_size,
@@ -116,8 +119,54 @@ class ScintireteService:
         result = self.persistence.recover()
         self.persistence.start_background_tasks()
         self._started = True
+        if self._use_device and self.config.tpu.warm_search_on_start:
+            import threading
+
+            self._warm_thread = threading.Thread(
+                target=self._warm_search, daemon=True
+            )
+            self._warm_thread.start()
         self.logger.info("service started", **result)
         return result
+
+    def _warm_search(self) -> None:
+        """Load every restored collection's search programs in the
+        background: dummy searches across the pow2 width ladder the batcher
+        can emit, so the first real client query doesn't absorb per-shape
+        program loads (~1-5 s each cached, minutes for a fresh compile over
+        a tunneled TPU). Runs off the serving critical path; failures only
+        warn — the first real query then pays what warmup couldn't."""
+        t0 = time.time()
+        widths: list[int] = []
+        w = 8
+        while w < self.config.tpu.search_batch_size:
+            widths.append(w)
+            w *= 2
+        widths.append(self.config.tpu.search_batch_size)
+        warmed = 0
+        try:
+            from scintirete_tpu.types import SearchParams
+
+            params = SearchParams(top_k=10)
+            for dbname in self.engine.list_databases():
+                db = self.engine.get_database(dbname)
+                for col in db.collections():
+                    info = col.info()
+                    if info.vector_count == 0 or info.dimension == 0:
+                        continue
+                    q = np.zeros((widths[-1], info.dimension), np.float32)
+                    for width in widths:
+                        col.search_batch(q[:width], params)
+                        warmed += 1
+            self._warm_info = {
+                "programs": warmed,
+                "widths": widths,
+                "seconds": round(time.time() - t0, 1),
+            }
+            if warmed:
+                self.logger.info("search prewarm done", **self._warm_info)
+        except Exception as exc:  # never let warmup break serving
+            self.logger.warn("search prewarm failed", error=str(exc))
 
     def stop(self) -> None:
         self.batcher.stop()

@@ -195,6 +195,44 @@ class TestCollectionRPCs:
         finally:
             svc2.stop()
 
+    def test_search_prewarm_on_restart(self, tmp_path):
+        """A restarted server warms every restored collection's search
+        programs in the background (the first client query must not absorb
+        per-shape program loads)."""
+        import numpy as np
+
+        cfg = Config()
+        cfg.server.passwords = [PASSWORD]
+        cfg.persistence.data_dir = str(tmp_path / "data")
+        cfg.tpu.search_batch_size = 32
+        svc = ScintireteService(cfg, use_device=True)
+        svc.start()
+        try:
+            svc.CreateDatabase(pb.CreateDatabaseRequest(auth=auth(), name="db"))
+            svc.CreateCollection(
+                pb.CreateCollectionRequest(
+                    auth=auth(), db_name="db", collection_name="c",
+                    metric_type=pb.COSINE,
+                )
+            )
+            col = svc.engine.get_database("db").get_collection("c")
+            rng = np.random.default_rng(0)
+            col.insert([(v, None) for v in
+                        rng.standard_normal((50, 8)).astype(np.float32)])
+            svc.Save(pb.SaveRequest(auth=auth()))
+        finally:
+            svc.stop()
+        svc2 = ScintireteService(cfg, use_device=True)
+        svc2.start()
+        try:
+            assert svc2._warm_thread is not None
+            svc2._warm_thread.join(timeout=120)
+            assert svc2._warm_info is not None
+            assert svc2._warm_info["programs"] == len(svc2._warm_info["widths"])
+            assert svc2._warm_info["widths"] == [8, 16, 32]
+        finally:
+            svc2.stop()
+
     def test_unspecified_metric_rejected(self, service):
         service.CreateDatabase(pb.CreateDatabaseRequest(auth=auth(), name="db"))
         with pytest.raises(ScintireteError):
