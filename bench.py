@@ -283,6 +283,13 @@ def run_scale(n, rng):
 
 
 def main() -> None:
+    if os.environ.get("BENCH_FORCE_CPU") == "1":
+        # CI / local smoke: must run before backend init (this box pins a
+        # TPU platform via sitecustomize, env vars alone don't switch)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     from scintirete_tpu.utils import enable_compilation_cache
     from scintirete_tpu.utils import prewarm as _pw
 
