@@ -604,6 +604,73 @@ class TestReviewHardening:
         pm2.stop()
 
 
+class TestCorruptionFuzz:
+    """Property-level corruption robustness: flip ONE random byte anywhere
+    in the AOF or RDB and recovery (non-strict) must never raise — it
+    either replays what it can (flip in a value), salvages a valid prefix
+    (flip in framing), or sets the file aside (flip in the snapshot), and
+    the engine stays usable afterwards. Neither format carries per-record
+    checksums (same contract as the reference's FlatBuffers files), so
+    silent value changes are allowed; crashes are not."""
+
+    def _seed_state(self, tmp_path, rng, with_snapshot):
+        engine, pm = make_manager(tmp_path)
+        db = engine.create_database("db")
+        pm.log_create_database("db")
+        db.create_collection(CFG())
+        pm.log_create_collection(
+            "db", "c", {"metric": 1, "hnsw": {"m": 8, "seed": 5}}
+        )
+        col = engine.get_database("db").get_collection("c")
+        data = rng.standard_normal((12, 8)).astype(np.float32)
+        ids = col.insert([(v, {"i": i}) for i, v in enumerate(data)])
+        pm.log_insert_vectors(
+            "db", "c",
+            [{"id": vid, "elements": data[i].tolist(), "metadata": {"i": i}}
+             for i, vid in enumerate(ids)],
+        )
+        if with_snapshot:
+            pm.save_snapshot()
+            pm.log_delete_vectors("db", "c", [ids[0]])
+        pm.stop()
+        return ids
+
+    @pytest.mark.parametrize("target", ["aof", "rdb"])
+    def test_single_byte_flips_never_crash(self, tmp_path, target):
+        rng = np.random.default_rng(1234)
+        base_dir = tmp_path / "seedstate"
+        base_dir.mkdir()
+        self._seed_state(base_dir, rng, with_snapshot=(target == "rdb"))
+        fname = "appendonly.aof" if target == "aof" else "vector.rdb"
+        good = (base_dir / "data" / fname).read_bytes()
+        assert len(good) > 0
+
+        flips = np.random.default_rng(99).integers(
+            0, len(good), 24
+        )
+        for trial, pos in enumerate(flips):
+            tdir = tmp_path / f"t{target}{trial}"
+            import shutil
+
+            shutil.copytree(base_dir, tdir)
+            p = tdir / "data" / fname
+            buf = bytearray(good)
+            buf[pos] ^= 0xFF
+            p.write_bytes(bytes(buf))
+
+            engine2, pm2 = make_manager(tdir)
+            try:
+                result = pm2.recover()  # must NOT raise in non-strict mode
+                # engine stays usable: a fresh write-path round trip
+                if not engine2.has_database("db"):
+                    engine2.create_database("db")
+                pm2.log_create_database("fuzzcheck")
+                engine2.create_database("fuzzcheck")
+                assert isinstance(result.get("degraded"), list)
+            finally:
+                pm2.stop()
+
+
 class TestMemstatSharded:
     def test_memstat_aggregates_sharded_graphs(self):
         """Sharded snapshots nest per-shard graph dicts; memstat must
