@@ -79,9 +79,10 @@ def measure(idx, label):
 
 
 def s_flat():
-    from scintirete_tpu.index.flat import FlatIndex
-
-    for min_cap in (None, 65536):
+    # (min_cap, search_batch_size): default XLA path at its 1024-step,
+    # XLA path with a 4096-wide step (ONE dispatch per pass), and the
+    # fused int8 lane scan forced below its capacity crossover
+    for min_cap, sbs in ((None, 1024), (None, 4096), (65536, 1024)):
         env("SCNT_FUSED_MIN_CAP", min_cap)
         # _FUSED_MIN_CAP is read at import; reload the module chain
         import importlib
@@ -91,15 +92,15 @@ def s_flat():
         importlib.reload(flat_mod)
         idx = flat_mod.FlatIndex(
             dim=DIM, metric=DistanceMetric.COSINE, use_device=True,
-            search_batch_size=1024,
+            search_batch_size=sbs,
         )
         t0 = time.time()
         idx.bulk_insert(list(range(1, N + 1)), base)
-        print(f"flat build (min_cap={min_cap}): {time.time()-t0:.1f}s",
-              flush=True)
+        print(f"flat build (min_cap={min_cap} sbs={sbs}): "
+              f"{time.time()-t0:.1f}s", flush=True)
         for f16 in (0, 1):
             env("SCNT_QUERY_F16", f16 or None)
-            measure(idx, f"flat min_cap={min_cap} f16={f16}")
+            measure(idx, f"flat min_cap={min_cap} sbs={sbs} f16={f16}")
         env("SCNT_QUERY_F16", None)
     env("SCNT_FUSED_MIN_CAP", None)
 
