@@ -550,8 +550,12 @@ class FlatIndex:
                     [chunk, np.zeros((padded - n, self.dim), np.float32)]
                 )
             if "scan" in a and not scan8:
+                # f16 upload contract as the fused path: the kernel casts
+                # queries to f32 on device, only upload rounding deviates
                 d, s = flat_topk_rerank(
-                    jnp.asarray(chunk, jnp.float32),
+                    jnp.asarray(
+                        chunk, jnp.float16 if _query_f16() else jnp.float32
+                    ),
                     a["scan"],
                     a["vectors"],
                     a["valid"],
