@@ -199,6 +199,30 @@ def s5_hnsw():
                 )
         env("SCNT_QUERY_F16", None)
         env("SCNT_FUSE_SUBBATCH", None)
+    # bf16 device graph: halves the beam's gather bytes; returned
+    # distances shift ~1e-3 relative (opt-in, like f16 upload). Forces a
+    # full re-upload + bf16 kernel variants (fresh compiles) — last.
+    q4 = queries_of(4096)
+    r32 = hidx.search_batch(q4[:2048], hp)
+    hidx.device_dtype = "bfloat16"
+    hidx._device = None  # next search builds a bf16 mirror (full upload)
+    t0 = time.time()
+    hidx.search_batch(q4, hp)  # warm: upload + compiles
+    print(f"  bf16 graph warm (upload+compiles) {time.time()-t0:.1f}s",
+          flush=True)
+    r16 = hidx.search_batch(q4[:2048], hp)
+    overlap = sum(
+        len({x[0] for x in a} & {x[0] for x in b})
+        for a, b in zip(r16, r32)
+    ) / (2048 * K)
+    t0 = time.time()
+    hidx.search_batch_pipelined([q4] * PASSES, hp, depth=2)
+    per = (time.time() - t0) / PASSES
+    print(f"  hnsw bf16-graph B=4096 depth2: {per*1e3:.0f}ms/pass -> "
+          f"{4096/per:.0f} QPS, overlap@10 vs f32 {overlap:.4f}",
+          flush=True)
+    hidx.device_dtype = "float32"
+    hidx._device = None
 
 
 def s6_append():
