@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import shlex
 import sys
 import time
 
@@ -53,6 +52,62 @@ HELP = """Commands:
 METRICS = {"L2": pb.L2, "COSINE": pb.COSINE, "IP": pb.INNER_PRODUCT}
 
 
+def split_command(line: str) -> list[str]:
+    """Whitespace tokenizer that keeps JSON values as single tokens.
+
+    shlex would shred `[0.1, 0.2]` into several tokens AND strip the
+    double quotes `{"title": "x"}` needs, so users typing the quickstart
+    examples verbatim would get JSON errors. Rules: balanced `[...]` /
+    `{...}` runs are one token kept verbatim (double-quote aware inside);
+    `'...'`/`"..."` are shell-style quoted strings (quotes stripped);
+    everything else splits on whitespace."""
+    tokens: list[str] = []
+    i, n = 0, len(line)
+    while i < n:
+        while i < n and line[i].isspace():
+            i += 1
+        if i >= n:
+            break
+        c = line[i]
+        if c in "[{":
+            j, depth, in_str = i, 0, False
+            while j < n:
+                ch = line[j]
+                if in_str:
+                    if ch == "\\":
+                        j += 1
+                    elif ch == '"':
+                        in_str = False
+                elif ch == '"':
+                    in_str = True
+                elif ch in "[{":
+                    depth += 1
+                elif ch in "]}":
+                    depth -= 1
+                    if depth == 0:
+                        j += 1
+                        break
+                j += 1
+            tokens.append(line[i:j])
+            i = j
+        elif c in "'\"":
+            quote, j, buf = c, i + 1, []
+            while j < n and line[j] != quote:
+                if line[j] == "\\" and quote == '"' and j + 1 < n:
+                    j += 1
+                buf.append(line[j])
+                j += 1
+            tokens.append("".join(buf))
+            i = j + 1
+        else:
+            j = i
+            while j < n and not line[j].isspace():
+                j += 1
+            tokens.append(line[i:j])
+            i = j
+    return tokens
+
+
 class CLI:
     def __init__(self, client: GrpcClient, password: str, database: str = ""):
         self.client = client
@@ -70,7 +125,9 @@ class CLI:
     # ----- command dispatch -----
 
     def execute(self, line: str) -> str:
-        parts = shlex.split(line)
+        return self.execute_tokens(split_command(line))
+
+    def execute_tokens(self, parts: list[str]) -> str:
         if not parts:
             return ""
         cmd, args = parts[0].lower(), parts[1:]
@@ -298,7 +355,9 @@ def main(argv=None) -> int:
 
     if args.command:
         try:
-            print(cli.execute(" ".join(shlex.quote(c) for c in args.command)))
+            # the shell already tokenized argv; re-joining through quoting
+            # would mangle JSON literals
+            print(cli.execute_tokens(list(args.command)))
             return 0
         except (ValueError, TypeError, json.JSONDecodeError) as exc:
             print(f"error: {exc}", file=sys.stderr)

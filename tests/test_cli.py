@@ -58,6 +58,37 @@ class TestCLI:
         assert "dropped" in cli.execute("collection drop vecs")
         assert "dropped" in cli.execute("database drop mydb")
 
+    def test_quickstart_lines_verbatim(self, cli):
+        """The docs/quickstart.md REPL session must work typed as-is:
+        JSON arrays with spaces and unquoted {"k": "v"} metadata (shlex
+        would shred the array and strip the JSON double quotes)."""
+        cli.execute("database create demo")
+        cli.execute("use demo")
+        cli.execute("collection create docs COSINE")
+        out = cli.execute(
+            'vector insert docs [0.1, 0.2, 0.3, 0.4] {"title": "hello"}'
+        )
+        assert "inserted id=1" in out
+        out = cli.execute(
+            'vector insert docs [0.9, 0.8, 0.7, 0.6] {"title": "world"}'
+        )
+        assert "inserted id=2" in out
+        out = cli.execute("vector search docs [0.1, 0.2, 0.3, 0.4] 2")
+        assert "id=1" in out and '"title": "hello"' in out
+
+    def test_split_command_edge_cases(self):
+        from scintirete_tpu.cli.main import split_command
+
+        assert split_command('a "b c" d') == ["a", "b c", "d"]
+        assert split_command("a '[1, 2]'") == ["a", "[1, 2]"]
+        # bracket inside a JSON string must not end the token
+        assert split_command('x [1, {"a": "]"}] y') == [
+            "x", '[1, {"a": "]"}]', "y"
+        ]
+        # unterminated JSON runs to end of line (error surfaces in json.loads)
+        assert split_command("x [1, 2") == ["x", "[1, 2"]
+        assert split_command("") == []
+
     def test_requires_db_selection(self, cli):
         with pytest.raises(ValueError, match="no database selected"):
             cli.execute("collection list")
