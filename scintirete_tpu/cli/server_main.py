@@ -55,6 +55,14 @@ def main(argv=None) -> int:
         cfg.log.level = args.log_level
     logger = StructuredLogger.from_config(cfg.log)
 
+    if cfg.tpu.platform:
+        # before ANY backend touch (env vars alone don't switch platforms
+        # here — the environment pins one via sitecustomize)
+        import jax
+
+        jax.config.update("jax_platforms", cfg.tpu.platform)
+        logger.info("jax platform override", platform=cfg.tpu.platform)
+
     if args.profile:
         import jax
 

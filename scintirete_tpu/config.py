@@ -105,6 +105,11 @@ class MonitoringConfig:
 class TPUConfig:
     """TPU-native engine knobs (extension over the reference's config)."""
 
+    # JAX platform override: "" = environment default (the TPU), "cpu"
+    # runs the full device code paths on the host XLA backend — dev boxes,
+    # CI smoke, and verification without holding the (single) chip. Must
+    # be applied before backend init; the server binary does this.
+    platform: str = ""
     # dtype for the device-resident vector matrix: float32 | bfloat16
     device_dtype: str = "float32"
     # default index for new collections: "hnsw" (reference behavior,
@@ -189,6 +194,8 @@ class Config:
                 fail("embedding model id must not be empty")
             if model.dimension <= 0 or model.dimension > 8192:
                 fail(f"embedding model {model.id}: invalid dimension")
+        if self.tpu.platform not in ("", "cpu", "tpu", "axon"):
+            fail(f"invalid tpu.platform: {self.tpu.platform}")
         if self.tpu.device_dtype not in ("float32", "bfloat16"):
             fail(f"invalid tpu.device_dtype: {self.tpu.device_dtype}")
         if self.tpu.default_index_type not in ("hnsw", "flat"):

@@ -393,13 +393,28 @@ class Collection:
             index_type=cfg_data.get("index_type", "hnsw"),
         )
         col = cls(config, use_device=use_device, tpu_config=tpu_config)
+        # restored indexes must honor the same [tpu] serving knobs a fresh
+        # _new_index gets (a restart must not change serving behavior)
+        flat_kw: dict[str, Any] = {}
+        hnsw_kw: dict[str, Any] = {}
+        if tpu_config is not None:
+            flat_kw = dict(
+                search_batch_size=tpu_config.search_batch_size,
+                fast_scan=tpu_config.flat_fast_scan,
+            )
+            hnsw_kw = dict(
+                search_batch_size=tpu_config.search_batch_size,
+                build_chunk_size=tpu_config.build_chunk_size,
+                device_search_min_size=tpu_config.device_search_min_size,
+            )
         graph = state.get("graph")
         if graph is not None:
             if graph.get("kind") == "flat":
                 from scintirete_tpu.index.flat import FlatIndex
 
                 col._index = FlatIndex.import_graph_state(
-                    graph, device_dtype=config.device_dtype, use_device=use_device
+                    graph, device_dtype=config.device_dtype,
+                    use_device=use_device, **flat_kw,
                 )
             elif graph.get("sharded"):
                 from scintirete_tpu.parallel import (
@@ -416,7 +431,8 @@ class Collection:
                 )
             else:
                 col._index = HNSWIndex.import_graph_state(
-                    graph, device_dtype=config.device_dtype, use_device=use_device
+                    graph, device_dtype=config.device_dtype,
+                    use_device=use_device, **hnsw_kw,
                 )
             col._dim = col._index.dim
         col._next_id = int(state["next_id"])

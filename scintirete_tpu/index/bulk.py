@@ -158,6 +158,7 @@ def _apply_chunk(
     )
     if dirty_pairs is not None:
         store.mark_rows(dirty_pairs)
+        store.linked_count = max(store.linked_count, int(new_slots[-1]) + 1)
         return [int(s) for s in new_slots]
 
     # pure-Python fallback (also the semantics oracle)
@@ -205,4 +206,5 @@ def _apply_chunk(
         if level > store.max_layer or store.entry_slot < 0:
             store.max_layer = max(store.max_layer, level)
             store.entry_slot = slot
+    store.linked_count = max(store.linked_count, int(new_slots[-1]) + 1)
     return [int(s) for s in new_slots]

@@ -697,13 +697,16 @@ class DeviceGraph:
         return cat, rows
 
     def _pivot_arrays(self, store: GraphStore) -> dict[str, Any]:
-        # entry pivots: a strided sample of allocated slots; the nearest
-        # pivot (one MXU matmul) is the search entry point
+        # entry pivots: a strided sample of PUBLISHED slots — the linked
+        # watermark, not the allocation count. The chunked build allocates
+        # a chunk's slots before their links apply; an unlinked pivot would
+        # become a dead-end entry (no out-edges -> single bogus result)
+        n_pub = max(store.linked_count, 1)
         vecs = store.vectors
-        R = max(64, min(1 << int(np.ceil(np.log2(max(store.count, 1) / 16 + 1))),
+        R = max(64, min(1 << int(np.ceil(np.log2(n_pub / 16 + 1))),
                         16384))
-        stride = max(store.count // R, 1)
-        pivots = np.arange(0, max(store.count, 1), stride, dtype=np.int32)[:R]
+        stride = max(n_pub // R, 1)
+        pivots = np.arange(0, n_pub, stride, dtype=np.int32)[:R]
         if len(pivots) < R:
             pivots = np.pad(pivots, (0, R - len(pivots)), mode="edge")
         pvecs = vecs[pivots].astype(np.float32)
@@ -714,7 +717,7 @@ class DeviceGraph:
             # non-zero pivots, 0 for zero pivots which keep distance 1)
             norms = np.linalg.norm(pvecs, axis=1, keepdims=True)
             pvecs = np.where(norms > 1e-30, pvecs / np.maximum(norms, 1e-30), 0.0)
-        self._pivot_count = store.count
+        self._pivot_count = n_pub
         return {
             "pivots": jnp.asarray(pivots),
             "pivot_vecs": jnp.asarray(pvecs),
@@ -757,7 +760,7 @@ class DeviceGraph:
         # sampled solely from old data (recall degrades progressively
         # until a capacity doubling forces a full upload) — refresh the
         # (small) pivot arrays whenever the live prefix has outgrown them
-        if store.count > self._pivot_count + max(self._pivot_count // 4, 16):
+        if store.linked_count > self._pivot_count + max(self._pivot_count // 4, 16):
             a.update(self._pivot_arrays(store))
         if dirty["vectors"]:
             rows = np.fromiter(dirty["vectors"], np.int32, len(dirty["vectors"]))

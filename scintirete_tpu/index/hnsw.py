@@ -450,7 +450,13 @@ class HNSWIndex:
         state: dict[str, Any],
         device_dtype: str = "float32",
         use_device: bool = True,
+        **kw: Any,
     ) -> "HNSWIndex":
+        """Restore without rebuild. `kw` forwards serving/build knobs
+        (search_batch_size, device_search_min_size, build_chunk_size) —
+        a restored index must honor the same [tpu] config a fresh one
+        gets, or a 50-vector collection serves off the device after a
+        restart while serving on the host before it."""
         params = HNSWParams(**state["params"])
         idx = cls(
             dim=state["dim"],
@@ -458,6 +464,7 @@ class HNSWIndex:
             metric=DistanceMetric(state["metric"]),
             device_dtype=device_dtype,
             use_device=use_device,
+            **kw,
         )
         s = idx.store
         n = int(state["count"])
@@ -485,6 +492,7 @@ class HNSWIndex:
             rows = np.arange(cnt, dtype=np.int32)
             ls.row_of[ldata["node_slot"][:cnt]] = rows
             s.layers.append(ls)
+        s.linked_count = n
         slot_to_id = np.asarray(state["slot_to_id"], np.uint64)
         idx.slot_to_id = np.zeros(s.cap, np.uint64)
         idx.slot_to_id[:n] = slot_to_id

@@ -174,6 +174,7 @@ def insert(store: GraphStore, vector: np.ndarray, level: int | None = None) -> i
     if store.entry_slot < 0:
         store.entry_slot = slot
         store.max_layer = level
+        store.linked_count = max(store.linked_count, slot + 1)
         return slot
 
     old_max = store.max_layer
@@ -194,6 +195,7 @@ def insert(store: GraphStore, vector: np.ndarray, level: int | None = None) -> i
     if level > old_max:
         store.max_layer = level
         store.entry_slot = slot
+    store.linked_count = max(store.linked_count, slot + 1)
     return slot
 
 

@@ -741,6 +741,7 @@ def build(store: GraphStore, vectors: np.ndarray) -> list[int]:
             flush=True,
         )
         _prof.clear()
+    store.linked_count = max(store.linked_count, store.count)
     return [int(s) for s in slots]
 
 # appends at least this large take the batched path (below it, per-vector
@@ -1141,6 +1142,7 @@ def append_batch(
             flush=True,
         )
         _prof.clear()
+    store.linked_count = max(store.linked_count, store.count)
     return [int(s) for s in slots]
 
 

@@ -97,6 +97,15 @@ class GraphStore:
 
         self.entry_slot = -1
         self.max_layer = -1
+        # publication watermark: slots [0, linked_count) have had their
+        # links applied (or are intentionally link-free entry nodes). The
+        # chunked bulk build allocates a chunk's slots BEFORE its links
+        # apply (bulk.py pipelines dispatch ahead of apply), so allocated
+        # slots above this watermark are unreachable by traversal AND must
+        # not be used as search entry points: a pivot sampled from an
+        # unlinked slot has no out-edges, the beam cannot expand, and the
+        # search returns a single bogus unregistered hit
+        self.linked_count = 0
         # monotonically bumped on every mutation; device sync is keyed off it
         self.version = 0
         # bumped only when VECTOR contents change (slot allocation); the

@@ -200,6 +200,30 @@ class TestEngine:
         r2 = col2.search(data[10], SearchParams(top_k=5))
         assert [x.id for x in r1] == [x.id for x in r2]
 
+    def test_restore_honors_tpu_serving_knobs(self, rng):
+        """A restart must not change serving behavior: a restored index
+        gets the same [tpu] knobs a fresh one does. Regression: restored
+        HNSWIndex defaulted device_search_min_size to 0, so a 50-vector
+        collection served off the device after restart (and hung whenever
+        another process held the chip) while serving on host before it."""
+        from scintirete_tpu.config import TPUConfig
+        from scintirete_tpu.engine import Engine
+
+        tpu = TPUConfig(device_search_min_size=123456, search_batch_size=64,
+                        build_chunk_size=512)
+        eng = Engine(use_device=True, tpu_config=tpu)
+        db = eng.create_database("db")
+        col = db.create_collection(CFG("a"))
+        col.insert([(v, None) for v in vecs(rng, 10)])
+        state = eng.export_state()
+
+        eng2 = Engine(use_device=True, tpu_config=tpu)
+        eng2.restore_state(state)
+        idx = eng2.get_database("db").get_collection("a")._index
+        assert idx.device_search_min_size == 123456
+        assert idx.search_batch_size == 64
+        assert idx.build_chunk_size == 512
+
     def test_restore_rejects_bad_version(self):
         eng = Engine(use_device=False)
         with pytest.raises(ScintireteError) as exc:

@@ -438,6 +438,7 @@ class TestDevicePivotRefresh:
         vecs = rng.standard_normal((64, 8)).astype(np.float32)
         store.reserve(np.zeros(64, np.int64))
         store.alloc_slots(vecs[:40], np.zeros(40, np.int64))
+        store.linked_count = store.count  # links applied (simulated)
         g = DeviceGraph()
         g.sync(store)
         assert g._pivot_count == 40
@@ -446,14 +447,52 @@ class TestDevicePivotRefresh:
 
         # small growth (< threshold): incremental sync keeps the sample
         store.alloc_slots(vecs[40:44], np.zeros(4, np.int64))
+        store.linked_count = store.count
         g.sync(store)
         assert g._pivot_count == 40
 
         # big growth within capacity: same shapes -> incremental path,
         # but the pivot arrays must now cover the appended prefix
         store.alloc_slots(vecs[44:], np.zeros(20, np.int64))
+        store.linked_count = store.count
         assert g._signature(store) == g._shape_sig  # truly incremental
         g.sync(store)
         assert g._pivot_count == 64
         piv1 = np.asarray(g.arrays["pivots"])
         assert piv1.max() > piv0.max()
+
+    def test_pivots_exclude_allocated_but_unlinked_slots(self, rng):
+        """The chunked bulk build allocates a chunk's slots BEFORE its
+        links apply (bulk.py pipelines dispatch ahead of apply, releasing
+        the write lock between chunks). A search in that window must not
+        enter at an unlinked slot: the beam cannot expand past it (no
+        out-edges) and its id is unregistered — observed in the wild as a
+        single SearchResult(id=0) during a concurrent build."""
+        from scintirete_tpu.index.hnsw import HNSWIndex
+        from scintirete_tpu.types import SearchParams
+
+        idx = HNSWIndex(
+            dim=16,
+            params=HNSWParams(m=8, ef_construction=40, ef_search=30, seed=1),
+            metric=DistanceMetric.L2,
+            use_device=True,
+        )
+        base = rng.standard_normal((300, 16)).astype(np.float32)
+        for i, v in enumerate(base):
+            idx.insert(i + 1, v)
+
+        # simulate the inter-chunk window: a chunk's slots allocated (far
+        # from the base cluster, so a leaked pivot would win entry) with
+        # links not yet applied and ids not yet registered
+        extra = rng.standard_normal((64, 16)).astype(np.float32) + 50.0
+        store = idx.store
+        levels = np.zeros(64, np.int32)
+        store.reserve(levels)
+        store.alloc_slots(extra, levels)
+
+        # query sits on an unlinked vector: pre-fix its nearest pivot was
+        # the unlinked slot itself -> dead-end entry, one bogus id-0 hit
+        res = idx.search(extra[7], SearchParams(top_k=5))
+        assert len(res) == 5
+        for vid, _dist in res:
+            assert 1 <= vid <= 300
