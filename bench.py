@@ -201,10 +201,11 @@ def run_scale(n, rng):
     # steady-state serving
     idx.search_batch(queries, params)
     log(f"n={n}: warm pass (compile+run) {time.time() - t0:.1f}s")
-    # steady-state pipelined serving (depth 2) — see the flat section below
+    # steady-state pipelined serving. depth 3 measured best at B=4096
+    # (scripts/r3_hw_focus.py, quiet box: 26.5k vs 22.6k QPS at depth 2)
     n_passes = 6
     t0 = time.time()
-    houts = idx.search_batch_pipelined([queries] * n_passes, params)
+    houts = idx.search_batch_pipelined([queries] * n_passes, params, depth=3)
     elapsed = (time.time() - t0) / n_passes
     results = houts[-1]
     qps = N_QUERIES / elapsed
@@ -226,16 +227,29 @@ def run_scale(n, rng):
     t0 = time.time()
     flat.bulk_insert(list(range(1, n + 1)), base)
     out["flat_build_seconds"] = round(time.time() - t0, 1)
+    # serving knobs, measured winners on a quiet box (r3_hw_focus.py):
+    # f16 query upload (halves h2d bytes — the dominant serving cost over
+    # the tunnel; verified benign: top-1 exact on 2048 queries, overlap@10
+    # 0.9993, max distance deviation 2.1e-5 — and recall is measured and
+    # gated below anyway) + 4 corpus tiles per grid step. 39.9k vs 21.4k
+    # QPS at default knobs, B=4096 depth 3. Library defaults stay
+    # reference-exact; the bench opts in and reports the knobs.
+    flat_knobs = {"SCNT_QUERY_F16": "1", "SCNT_SCAN_TPS": "4"}
+    saved_env = {k: os.environ.get(k) for k in flat_knobs}
+    os.environ.update(flat_knobs)
+    out["flat_knobs"] = {**flat_knobs, "depth": 3}
     flat.search_batch(queries, params)  # warm (kernel + packed fetch)
-    # steady-state pipelined serving (depth 2): a loaded server keeps the
-    # next batch's upload+kernel in flight while the previous batch's
+    # steady-state pipelined serving (depth 3): a loaded server keeps the
+    # next batches' upload+kernel in flight while the previous batch's
     # results stream back — the tunnel transfer is the wall, not the scan
     # (scripts/prof_tunnel_floor.py), so overlapping the two is the honest
     # picture of sustained throughput. 6 independent passes, averaged.
     n_passes = 6
     t0 = time.time()
-    outs = flat.search_batch_pipelined([queries] * n_passes, params)
+    outs = flat.search_batch_pipelined([queries] * n_passes, params, depth=3)
     elapsed = (time.time() - t0) / n_passes
+    for k_, v_ in saved_env.items():
+        os.environ.pop(k_, None) if v_ is None else os.environ.update({k_: v_})
     fresults = outs[-1]
     fqps = N_QUERIES / elapsed
     frecall = recall_of(fresults, true_i)
