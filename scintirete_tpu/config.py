@@ -133,6 +133,10 @@ class TPUConfig:
     # loads — seconds to minutes over a tunneled TPU — inside the FIRST
     # client query)
     warm_search_on_start: bool = True
+    # also warm the batched-append programs of restored HNSW collections
+    # (first write batch otherwise absorbs them); only applies when
+    # warm_search_on_start is on
+    warm_append_on_start: bool = True
 
 
 @dataclasses.dataclass

@@ -236,7 +236,9 @@ class HNSWIndex:
                 # The clone CONTINUES dirty tracking and the scan cache keeps
                 # the corpus device-resident, so neither the append's scans
                 # nor the post-swap mirror sync re-upload the whole graph
-                tmp = self.store.clone(track_dirty=True)
+                tmp = self.store.clone(
+                    track_dirty=True, share_append_safe=True
+                )
                 slots = knn_build.append_batch(
                     tmp, vectors, scan_cache=self._append_scan_cache
                 )

@@ -77,6 +77,8 @@ KNN_CANDIDATES = 64
 MIN_BUILD_SIZE = 2048
 _ROUND0 = 128  # first-round prefix size (sparse enough for long-range edges)
 _QBLOCK = 2048  # rows scanned per kNN dispatch
+_RPBLOCK = 8192  # reprune targets per device chain (FIXED pad: one
+# program set per degree rule regardless of append size)
 _TILE = 131072  # base columns per scan tile
 
 
@@ -668,8 +670,19 @@ def _layer_adj(ctx, nm, max_deg, heuristic):
         _drain_flight(in_flight, out, out_d)
     return out
 
-def build(store: GraphStore, vectors: np.ndarray) -> list[int]:
-    """From-scratch bulk build. The store must be empty."""
+def build(
+    store: GraphStore,
+    vectors: np.ndarray,
+    scan_cache: dict | None = None,
+) -> list[int]:
+    """From-scratch bulk build. The store must be empty.
+
+    `scan_cache` (the caller's append cache, see append_batch): when given
+    and the fused path is active, the build SEEDS it with its own
+    device-resident scan base re-ordered to slot space (one device gather,
+    no transfer) — the first append after a build is then a cache HIT
+    instead of re-assembling + re-uploading the whole corpus (~1-2 s of
+    host normalize + 256 MB over the tunnel at 1M)."""
     assert store.count == 0, "knn_build.build requires an empty store"
     vectors = np.asarray(vectors, np.float32)
     n = len(vectors)
@@ -727,6 +740,24 @@ def build(store: GraphStore, vectors: np.ndarray) -> list[int]:
 
     store.max_layer = max_level
     store.entry_slot = int(order[0]) if n else -1
+    if scan_cache is not None and ctx["use_fused"] and n:
+        with _phase("seed_cache"):
+            # slot s was input row s (empty-store alloc), which sits at
+            # ctx row perm[s]; pad slots point at a ctx zero pad row
+            npad = ctx["npad"]
+            perm = np.full(npad, min(n, npad - 1), np.int32)
+            perm[:n][order] = np.arange(n, dtype=np.int32)
+            import jax.numpy as jnp  # noqa: F811
+
+            pj = jnp.asarray(perm)
+            scan_cache.clear()
+            scan_cache.update(
+                lineage=store.lineage,
+                vec_version=store.vec_version,
+                npad=npad,
+                base_j=ctx["base_j"][pj],
+                base_sq=ctx["base_sq"][pj],
+            )
     store.invalidate_dirty()  # adjacency written in place: full upload next
     store.version += 1
     if _PROFILE:
@@ -931,6 +962,16 @@ def append_batch(
         out_i = np.full((nq, max_deg), -1, np.int32)
         out_d = np.full((nq, max_deg), np.inf, np.float32)
         in_flight = []
+        if ci.shape[1] < KNN_CANDIDATES:
+            # small upper layers yield c = nm_l - 1 candidates: pad the
+            # width to the constant so ONE select program per degree rule
+            # serves every layer (each distinct width is otherwise a
+            # fresh program — seconds of load over the tunnel)
+            padw = KNN_CANDIDATES - ci.shape[1]
+            ci = np.pad(ci, ((0, 0), (0, padw)), constant_values=-1)
+            cd = np.pad(
+                cd, ((0, 0), (0, padw)), constant_values=np.float32(np.inf)
+            )
         width = ci.shape[1]
         for qs in range(0, nq, _QBLOCK):
             qe = min(qs + _QBLOCK, nq)
@@ -946,45 +987,76 @@ def append_batch(
         _drain_flight(in_flight, out_i, out_d)
         return out_i, out_d
 
+    rp_pending: list = []  # queued reprune chains: (layer, rows, si, sd, deg)
+
     def reprune_targets(t_slots, inc_i, inc_d, layer, max_deg, heuristic):
         """Batched _add_link: for every target, re-select over (current
-        neighbors u incoming) and write back."""
+        neighbors u incoming) — DISPATCH ONLY. Chains are queued in
+        rp_pending; reprune_drain() materializes every chain's selection
+        with one packed transfer and writes the adjacency back. (The
+        previous shape fetched each chunk's result synchronously — at 1M
+        a 4096-append repruned ~100k targets in 13 chunks, 13 serialized
+        tunnel round trips.) Chunks are padded to a FIXED _RPBLOCK rows
+        so ONE program set per degree rule serves any append size."""
         table, row_of = store.adjacency(layer)
-        rows = t_slots if row_of is None else row_of[t_slots]
-        cur = table[rows]  # [T, max_deg] current adjacency (slot space)
+        rows_all = t_slots if row_of is None else row_of[t_slots]
+        cur_all = table[rows_all]  # [T, max_deg] current adjacency (slots)
         # drop tombstoned current neighbors BEFORE the merge, like the
         # host oracle (host_algo._add_link keeps only live nbrs): a
         # closer-but-deleted neighbor must not crowd out the new edge
-        cur = np.where(
-            (cur >= 0) & store.deleted[np.maximum(cur, 0)], -1, cur
+        cur_all = np.where(
+            (cur_all >= 0) & store.deleted[np.maximum(cur_all, 0)], -1,
+            cur_all,
         )
-        tpad = _pad_pow2(len(t_slots), minimum=1024)
+        for ts in range(0, len(t_slots), _RPBLOCK):
+            te = min(ts + _RPBLOCK, len(t_slots))
 
-        def padded(a, fill):
-            out = np.full((tpad,) + a.shape[1:], fill, a.dtype)
-            out[: len(a)] = a
-            return out
+            def padded(a, fill):
+                out = np.full((_RPBLOCK,) + a.shape[1:], fill, a.dtype)
+                out[: te - ts] = a[ts:te]
+                return out
 
-        cur_d_dev = K["nbr_dists"](
-            base_j,  # gathered rows are cast to f32 inside the kernel
-            base_sq,
-            jnp.asarray(padded(t_slots.astype(np.int64), 0)),
-            jnp.asarray(padded(cur, -1)),
-            metric=metric,
-        )
-        mi, md = K["merge_dedupe"](
-            jnp.asarray(padded(cur, -1)),
-            cur_d_dev,
-            jnp.asarray(padded(inc_i, -1)),
-            jnp.asarray(padded(inc_d, np.float32(np.inf))),
-        )
-        si, sd = K["select_block"](
-            mi, md, base_j, metric=metric, max_deg=max_deg,
-            heuristic=heuristic,
-        )
-        si = np.asarray(si)[: len(t_slots), :max_deg]
-        table[rows] = si
-        store.mark_rows((layer, int(r)) for r in rows)
+            cur = padded(cur_all, -1)
+            cur_d_dev = K["nbr_dists"](
+                base_j,  # gathered rows are cast to f32 inside the kernel
+                base_sq,
+                jnp.asarray(padded(t_slots.astype(np.int64), 0)),
+                jnp.asarray(cur),
+                metric=metric,
+            )
+            mi, md = K["merge_dedupe"](
+                jnp.asarray(cur),
+                cur_d_dev,
+                jnp.asarray(padded(inc_i, -1)),
+                jnp.asarray(padded(inc_d, np.float32(np.inf))),
+            )
+            si, sd = K["select_block"](
+                mi, md, base_j, metric=metric, max_deg=max_deg,
+                heuristic=heuristic,
+            )
+            rp_pending.append((layer, rows_all[ts:te], si, sd, max_deg))
+
+    def reprune_drain():
+        """Fetch every queued reprune chain (ONE packed transfer per
+        degree width) and write the adjacency tables back. Deferral is
+        safe: target sets are disjoint within a layer, and no phase
+        between submit and drain reads a queued target's row."""
+        by_w: dict[int, list] = {}
+        for ent in rp_pending:
+            by_w.setdefault(ent[4], []).append(ent)
+        rp_pending.clear()
+        for w, ents in by_w.items():
+            out_i = np.full((len(ents) * _RPBLOCK, w), -1, np.int32)
+            out_d = np.full((len(ents) * _RPBLOCK, w), np.inf, np.float32)
+            flight = [
+                (k * _RPBLOCK, k * _RPBLOCK + len(rows), si, sd)
+                for k, (_l, rows, si, sd, _w) in enumerate(ents)
+            ]
+            _drain_flight(flight, out_i, out_d)
+            for k, (layer, rows, _si, _sd, _w) in enumerate(ents):
+                table, _ = store.adjacency(layer)
+                table[rows] = out_i[k * _RPBLOCK : k * _RPBLOCK + len(rows)]
+                store.mark_rows_bulk(layer, rows)
 
     heuristic0 = bool(store.params.neighbor_heuristic)
     max_new_level = int(levels.max(initial=0))
@@ -995,42 +1067,39 @@ def append_batch(
     with _phase("append_select0"):
         fwd_i, fwd_d = select_new(ci, cd, store.m0, heuristic0)
     store.neighbors0[new_slots] = fwd_i
-    store.mark_rows((0, int(s)) for s in new_slots)
+    store.mark_rows_bulk(0, new_slots)
 
     with _phase("append_reverse0"):
-        # reverse edges: new -> target, capped at the nearest m0 per target
+        # reverse edges: new -> target, capped at the nearest m0 per
+        # target. Incoming lists are built COMPACTED (one row per unique
+        # live target, ~100k at a 4096-append) — the previous [count, m0]
+        # scatter allocated two 128 MB arrays per append at 1M
         src = np.repeat(new_slots, fwd_i.shape[1])
         dst = fwd_i.reshape(-1).astype(np.int64)
         d = fwd_d.reshape(-1)
-        keep = dst >= 0
+        keep = (dst >= 0) & ~store.deleted[np.maximum(dst, 0)]
         src, dst, d = src[keep], dst[keep], d[keep]
-        inc_i = np.full((count, store.m0), -1, np.int32)
-        inc_d = np.full((count, store.m0), np.inf, np.float32)
         if len(dst):
+            uniq, inv = np.unique(dst, return_inverse=True)
             bits = d.astype(np.float32).view(np.uint32)
             mono = np.where(
                 bits & 0x80000000, ~bits, bits | np.uint32(0x80000000)
             ).astype(np.uint64)
-            key = (dst.astype(np.uint64) << np.uint64(32)) | mono
+            key = (inv.astype(np.uint64) << np.uint64(32)) | mono
             order = np.argsort(key)
-            dst, src, d = dst[order], src[order], d[order]
+            inv_o, src_o, d_o = inv[order], src[order], d[order]
             iota = np.arange(len(dst))
             new_grp = np.empty(len(dst), bool)
             new_grp[0] = True
-            new_grp[1:] = dst[1:] != dst[:-1]
+            new_grp[1:] = inv_o[1:] != inv_o[:-1]
             grp_start = np.maximum.accumulate(np.where(new_grp, iota, 0))
             pos = iota - grp_start
             keep = pos < store.m0
-            inc_i[dst[keep], pos[keep]] = src[keep]
-            inc_d[dst[keep], pos[keep]] = d[keep]
-        affected = np.flatnonzero(inc_i[:, 0] >= 0)
-        affected = affected[~store.deleted[affected]]
-        for ts in range(0, len(affected), 8192):
-            te = min(ts + 8192, len(affected))
-            reprune_targets(
-                affected[ts:te], inc_i[affected[ts:te]],
-                inc_d[affected[ts:te]], 0, store.m0, heuristic0,
-            )
+            inc_i = np.full((len(uniq), store.m0), -1, np.int32)
+            inc_d = np.full((len(uniq), store.m0), np.inf, np.float32)
+            inc_i[inv_o[keep], pos[keep]] = src_o[keep]
+            inc_d[inv_o[keep], pos[keep]] = d_o[keep]
+            reprune_targets(uniq, inc_i, inc_d, 0, store.m0, heuristic0)
 
     # ---- upper layers: member-subset scans (host/XLA — member sets are
     # geometrically small) ----
@@ -1101,7 +1170,7 @@ def append_batch(
             fwd_i, fwd_d = select_new(cand_i, cand_d, store.m, True)
             rows = ls.row_of[new_l]
             ls.nbrs[rows] = fwd_i
-            store.mark_rows((l, int(r)) for r in rows)
+            store.mark_rows_bulk(l, rows)
             # reverse edges within the layer
             src = np.repeat(new_l, fwd_i.shape[1])
             dst = fwd_i.reshape(-1).astype(np.int64)
@@ -1123,6 +1192,9 @@ def append_batch(
                         ii[r_, j] = s_
                         idd[r_, j] = d_
                 reprune_targets(t_slots, ii, idd, l, store.m, True)
+
+    with _phase("append_reverse_drain"):
+        reprune_drain()
 
     # entry point: a new top level promotes its (first) node
     if max_new_level > store.max_layer:

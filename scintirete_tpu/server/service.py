@@ -158,6 +158,28 @@ class ScintireteService:
                     for width in widths:
                         col.search_batch(q[:width], params)
                         warmed += 1
+                    # append programs too: a write-taking collection
+                    # otherwise absorbs the masked-scan + reprune program
+                    # loads inside its FIRST batched append
+                    from scintirete_tpu.index.knn_build import APPEND_MIN
+
+                    if (
+                        self.config.tpu.warm_append_on_start
+                        and info.index_type == "hnsw"
+                        and info.vector_count >= APPEND_MIN
+                    ):
+                        from scintirete_tpu.utils import prewarm
+
+                        prewarm.warm_append(
+                            info.vector_count,
+                            info.dimension,
+                            int(info.metric),
+                            m=info.hnsw.m,
+                            heuristic=getattr(
+                                info.hnsw, "neighbor_heuristic", True
+                            ),
+                        )
+                        warmed += 1
             self._warm_info = {
                 "programs": warmed,
                 "widths": widths,

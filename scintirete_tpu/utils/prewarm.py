@@ -164,6 +164,145 @@ def build_manifest(
     return jobs
 
 
+def append_manifest(
+    n: int,
+    dim: int,
+    metric: int,
+    m: int = 16,
+    heuristic: bool = True,
+) -> list:
+    """Zero-arg callables covering every device program of a batched
+    APPEND onto an n-vector store (knn_build.append_batch): the masked
+    candidate scan, forward selection from host-uploaded candidates, and
+    the reverse-reprune chain at its fixed _RPBLOCK pad. Without this a
+    serving process's FIRST append to a restored collection absorbs
+    per-program loads (measured: trials 0-1 of r3_hw_focus.py ran at
+    31-58 vec/s vs ~500 steady)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scintirete_tpu.index import knn_build as kb
+    from scintirete_tpu.ops.pallas_scan import LANES, knn_lane_topc_masked
+
+    import os
+
+    K = kb._kernels()
+    dtype = kb._scan_dtype()
+    npad = kb._pad_pow4(n, minimum=max(kb._ROUND0 * 2, 2048))
+    interp = kb._interpret_mode() or (
+        os.environ.get("SCNT_APPEND_INTERPRET") == "1"
+    )
+    fused = (
+        (jax.default_backend() == "tpu" or interp)
+        and npad % LANES == 0
+        and dtype == jnp.bfloat16
+    )
+    B = kb._QBLOCK
+    T = kb._RPBLOCK
+    m0 = 2 * m
+    c = kb.KNN_CANDIDATES
+
+    base = jnp.zeros((npad, dim), dtype)
+    base_sq = jnp.zeros((npad,), jnp.float32)
+
+    # grid_tiles exactly as append_batch derives it from the live count
+    max_tiles = npad // LANES
+    grid_g = 1
+    while grid_g * LANES < n and grid_g < max_tiles:
+        grid_g *= 16
+    grid_g = min(grid_g, max_tiles)
+
+    def done(x):
+        jax.block_until_ready(x)
+        return x
+
+    def upload(shape, np_dtype, fill=0, cast=None):
+        """Host-buffer upload with the same lineage as append_batch's
+        inputs (host-side cast BEFORE the transfer)."""
+        a = np.full(shape, fill, np_dtype)
+        return jnp.asarray(a.astype(cast) if cast is not None else a)
+
+    from scintirete_tpu.index.device import _fetch_packed
+
+    def scan_job():
+        """Candidate scan (layer 0 AND large upper layers share ONE
+        masked program), drained through the packed-fetch arities the
+        layer-0 2-chunk flight uses."""
+        qb = upload((B, dim), np.float32, cast=dtype)
+        si = upload((B,), np.int32, -1)
+        if fused:
+            inval = upload((npad,), np.float32, 1)
+            d_, i_ = done(
+                knn_lane_topc_masked(
+                    qb, si, base, base_sq, inval, metric=metric, c=c,
+                    grid_tiles=grid_g, interpret=interp,
+                )
+            )
+        else:
+            d_, i_ = done(
+                K["knn_block"](
+                    qb, si, base, base_sq, jnp.int32(1), metric=metric,
+                    c=c, tile=min(kb._TILE, npad),
+                )
+            )
+        for arity in (4, 16, 64):
+            _fetch_packed([d_] * arity, [i_] * arity)
+
+    def select_job(deg, h):
+        """Forward selection: append feeds select_block from HOST arrays
+        (scan results round-trip through the drain), not from the scan's
+        device output — warm that lineage, the caller's (full-range)
+        re-slice, and its drain arities."""
+        ci = upload((B, c), np.int32, -1)
+        cd = upload((B, c), np.float32, np.inf)
+        si, sd = K["select_block"](
+            ci, cd, base, metric=metric, max_deg=deg, heuristic=h
+        )
+        si, sd = done((si[:, :deg], sd[:, :deg]))
+        for arity in (4, 16, 64):
+            _fetch_packed([sd] * arity, [si] * arity)
+
+    def reprune_job(deg, h):
+        """The reverse-reprune chain at its fixed pad, chained like
+        append_batch: nbr_dists output feeds the merge."""
+        t = upload((T,), np.int64)
+        cur = upload((T, deg), np.int32, -1)
+        cur_d = done(K["nbr_dists"](base, base_sq, t, cur, metric=metric))
+        mi, md = done(
+            K["merge_dedupe"](
+                cur, cur_d, upload((T, deg), np.int32, -1),
+                upload((T, deg), np.float32, np.inf),
+            )
+        )
+        si, sd = done(
+            K["select_block"](
+                mi, md, base, metric=metric, max_deg=deg, heuristic=h
+            )
+        )
+        for arity in (4, 16, 64):
+            _fetch_packed([sd] * arity, [si] * arity)
+
+    # layer-0 rule and upper-layer rule (upper selection always heuristic)
+    jobs = [scan_job]
+    for deg, h in sorted({(m0, heuristic), (m, True)}):
+        jobs.append(lambda deg=deg, h=h: select_job(deg, h))
+        jobs.append(lambda deg=deg, h=h: reprune_job(deg, h))
+    return jobs
+
+
+def warm_append(
+    n: int,
+    dim: int,
+    metric: int,
+    m: int = 16,
+    heuristic: bool = True,
+    threads: int = 8,
+) -> float:
+    """Load every batched-append program for an n-vector store up front."""
+    return warm(append_manifest(n, dim, metric, m=m, heuristic=heuristic),
+                threads=threads)
+
+
 def warm(jobs: list, threads: int = 8) -> float:
     """Run manifest jobs concurrently; returns elapsed seconds. Runtime
     setup (backend init + d2h channel) is paid first so no job's packed

@@ -45,6 +45,13 @@ def draw(n, seed):
 
 
 base = draw(N, 1)
+from scintirete_tpu.utils import prewarm  # noqa: E402
+
+t0 = time.time()
+prewarm.warm_build(N, DIM, int(DistanceMetric.COSINE), m=16, heuristic=True)
+prewarm.warm_append(N, DIM, int(DistanceMetric.COSINE), m=16,
+                    heuristic=True)
+print(f"prewarm {time.time() - t0:.1f}s", flush=True)
 idx = HNSWIndex(
     dim=DIM,
     params=HNSWParams(m=16, ef_construction=200, ef_search=16, seed=42,
