@@ -182,11 +182,13 @@ class HNSWIndex:
                 tmp = GraphStore(
                     self.store.dim, self.store.params, self.store.metric
                 )
-                slots = knn_build.build(tmp, vectors)
+                slots = knn_build.build(
+                    tmp, vectors, scan_cache=self._append_scan_cache
+                )
                 with self._rw.write():
                     self.store = tmp
                     self._device = None  # fresh mirror -> full upload
-                    self._append_scan_cache.clear()  # new lineage
+                    # _append_scan_cache: build() re-seeded it (new lineage)
                     for vid, slot in zip(ids, slots):
                         self._register_slot(int(vid), int(slot))
             elif (
@@ -207,7 +209,9 @@ class HNSWIndex:
                 tmp = GraphStore(
                     self.store.dim, self.store.params, self.store.metric
                 )
-                slots = knn_build.build(tmp, all_vecs)
+                slots = knn_build.build(
+                    tmp, all_vecs, scan_cache=self._append_scan_cache
+                )
                 all_ids = [int(v) for v in old_ids] + [int(v) for v in ids]
                 new_map = dict(zip(all_ids, (int(s) for s in slots)))
                 new_rev = np.zeros(tmp.cap, np.uint64)
@@ -215,7 +219,7 @@ class HNSWIndex:
                 with self._rw.write():
                     self.store = tmp
                     self._device = None
-                    self._append_scan_cache.clear()  # new lineage
+                    # _append_scan_cache: build() re-seeded it (new lineage)
                     self.id_to_slot = new_map
                     self.slot_to_id = new_rev
             elif (
@@ -236,9 +240,10 @@ class HNSWIndex:
                 # The clone CONTINUES dirty tracking and the scan cache keeps
                 # the corpus device-resident, so neither the append's scans
                 # nor the post-swap mirror sync re-upload the whole graph
-                tmp = self.store.clone(
-                    track_dirty=True, share_append_safe=True
-                )
+                with knn_build._phase("append_clone"):
+                    tmp = self.store.clone(
+                        track_dirty=True, share_append_safe=True
+                    )
                 slots = knn_build.append_batch(
                     tmp, vectors, scan_cache=self._append_scan_cache
                 )

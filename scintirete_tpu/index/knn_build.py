@@ -267,12 +267,42 @@ def _kernels():
         si = jax.lax.iota(jnp.int32, block) + start
         return qb, qsq, si
 
+    @functools.partial(
+        jax.jit, static_argnames=("metric", "max_deg", "heuristic")
+    )
+    def reprune_chain(
+        base, base_sq, t_rows, cur_i, inc_i, inc_d,
+        metric: int, max_deg: int, heuristic: bool,
+    ):
+        """One-dispatch reverse-edge reprune: current-neighbor distances +
+        merge/dedupe + selection fused into a single program (the jitted
+        pieces inline under this jit). The append's flush runs ~13 chains
+        at 1M; three dispatches each was ~40 tunnel round trips of pure
+        launch latency per batch."""
+        cur_d = nbr_dists(base, base_sq, t_rows, cur_i, metric)
+        mi, md = merge_dedupe(cur_i, cur_d, inc_i, inc_d)
+        return select_block(
+            mi, md, base, metric=metric, max_deg=max_deg,
+            heuristic=heuristic,
+        )
+
+    @jax.jit
+    def layer_mask(lev, deleted, l):
+        """[Np] f32 invalid mask for layer l: 1.0 = not scannable
+        (below-level, deleted, padding — pad rows carry deleted=True).
+        Computed ON DEVICE from a once-per-append levels/deleted upload:
+        the host-built per-layer f32 masks were ~4 MB of tunnel upload
+        per layer per append batch. `l` is traced (one program)."""
+        return ((lev < l) | deleted).astype(jnp.float32)
+
     return {
         "knn_block": knn_block,
         "select_block": select_block,
         "merge_dedupe": merge_dedupe,
         "nbr_dists": nbr_dists,
         "slice_block": slice_block,
+        "reprune_chain": reprune_chain,
+        "layer_mask": layer_mask,
     }
 
 
@@ -740,6 +770,10 @@ def build(
 
     store.max_layer = max_level
     store.entry_slot = int(order[0]) if n else -1
+    if scan_cache is not None:
+        # stale entries can never HIT (the store's lineage token is new)
+        # but would pin a corpus-sized device array until the next append
+        scan_cache.clear()
     if scan_cache is not None and ctx["use_fused"] and n:
         with _phase("seed_cache"):
             # slot s was input row s (empty-store alloc), which sits at
@@ -750,7 +784,6 @@ def build(
             import jax.numpy as jnp  # noqa: F811
 
             pj = jnp.asarray(perm)
-            scan_cache.clear()
             scan_cache.update(
                 lineage=store.lineage,
                 vec_version=store.vec_version,
@@ -760,20 +793,25 @@ def build(
             )
     store.invalidate_dirty()  # adjacency written in place: full upload next
     store.version += 1
-    if _PROFILE:
-        import sys
-
-        total = sum(_prof.values())
-        print(
-            "[knn_build profile] "
-            + " ".join(f"{k}={v:.1f}s" for k, v in sorted(_prof.items()))
-            + f" | phases_total={total:.1f}s",
-            file=sys.stderr,
-            flush=True,
-        )
-        _prof.clear()
+    _dump_profile("knn_build")
     store.linked_count = max(store.linked_count, store.count)
     return [int(s) for s in slots]
+
+
+def _dump_profile(tag: str) -> None:
+    if not _PROFILE:
+        return
+    import sys
+
+    total = sum(_prof.values())
+    print(
+        f"[{tag} profile] "
+        + " ".join(f"{k}={v:.1f}s" for k, v in sorted(_prof.items()))
+        + f" | phases_total={total:.1f}s",
+        file=sys.stderr,
+        flush=True,
+    )
+    _prof.clear()
 
 # appends at least this large take the batched path (below it, per-vector
 # dispatch overhead exceeds the batched phases' setup)
@@ -912,20 +950,33 @@ def append_batch(
             np.take_along_axis(cd, order, axis=1),
         )
 
-    def layer_invalid(member_mask: np.ndarray):
-        """[npad] f32 device mask: 1.0 = not scannable (non-member, deleted,
-        padding)."""
-        inv = np.ones(npad, np.float32)
-        ok = member_mask & ~store.deleted[:count]
-        inv[:count] = (~ok).astype(np.float32)
-        return jnp.asarray(inv)
+    _lvl_state: dict = {}
+
+    def layer_invalid(l: int):
+        """[npad] f32 device mask for layer l: 1.0 = not scannable
+        (below-level ⇔ non-member, deleted, padding). Built ON DEVICE
+        (K["layer_mask"]) from a lazily-uploaded (levels, deleted) pair:
+        5 bytes/row once per append instead of 4 f32 bytes/row per LAYER
+        (~28 MB of tunnel upload per 4096-batch at 1M)."""
+        if not _lvl_state:
+            # int8 is safe: levels are capped far below 127 (max-layer
+            # bound); clip defensively anyway
+            lev = np.zeros(npad, np.int8)
+            lev[:count] = np.minimum(store.levels[:count], 127)
+            dl = np.ones(npad, bool)
+            dl[:count] = store.deleted[:count]
+            _lvl_state["lev"] = jnp.asarray(lev)
+            _lvl_state["del"] = jnp.asarray(dl)
+        return K["layer_mask"](
+            _lvl_state["lev"], _lvl_state["del"], np.int32(l)
+        )
 
     def scan_new(q_slots: np.ndarray, c: int) -> tuple[np.ndarray, np.ndarray]:
         """Exact top-c LAYER-0 candidates of the given new slots (self
         excluded, deleted filtered on host)."""
         if use_fused:
             return scan_masked(
-                q_slots, layer_invalid(np.ones(count, bool)), c
+                q_slots, layer_invalid(0), c
             )
         nq = len(q_slots)
         ci = np.full((nq, c), -1, np.int32)
@@ -987,76 +1038,84 @@ def append_batch(
         _drain_flight(in_flight, out_i, out_d)
         return out_i, out_d
 
-    rp_pending: list = []  # queued reprune chains: (layer, rows, si, sd, deg)
+    # staged reprune segments: (max_deg, heuristic) -> [(layer, t_slots,
+    # inc_i, inc_d)] — all host arrays, no device work until the flush
+    rp_staged: dict[tuple[int, bool], list] = {}
 
     def reprune_targets(t_slots, inc_i, inc_d, layer, max_deg, heuristic):
         """Batched _add_link: for every target, re-select over (current
-        neighbors u incoming) — DISPATCH ONLY. Chains are queued in
-        rp_pending; reprune_drain() materializes every chain's selection
-        with one packed transfer and writes the adjacency back. (The
-        previous shape fetched each chunk's result synchronously — at 1M
-        a 4096-append repruned ~100k targets in 13 chunks, 13 serialized
-        tunnel round trips.) Chunks are padded to a FIXED _RPBLOCK rows
-        so ONE program set per degree rule serves any append size."""
-        table, row_of = store.adjacency(layer)
-        rows_all = t_slots if row_of is None else row_of[t_slots]
-        cur_all = table[rows_all]  # [T, max_deg] current adjacency (slots)
-        # drop tombstoned current neighbors BEFORE the merge, like the
-        # host oracle (host_algo._add_link keeps only live nbrs): a
-        # closer-but-deleted neighbor must not crowd out the new edge
-        cur_all = np.where(
-            (cur_all >= 0) & store.deleted[np.maximum(cur_all, 0)], -1,
-            cur_all,
+        neighbors u incoming) — STAGE ONLY. reprune_flush() concatenates
+        every layer's segments into shared fixed-pad chains, so the
+        chain count is set by the TOTAL target count, not the layer
+        count (the previous per-layer chains were ~97% padding above
+        layer 0, and each paid its own dispatch + fetch round trips
+        over the tunnel). Deferral is safe: target sets are unique per
+        layer, the only writer of an EXISTING row between stage and
+        flush is the flush itself, and reading `cur` at flush time sees
+        at most the batch's own forward rows — the same values the
+        immediate form read."""
+        rp_staged.setdefault((max_deg, bool(heuristic)), []).append(
+            (layer, t_slots.astype(np.int64), inc_i, inc_d)
         )
-        for ts in range(0, len(t_slots), _RPBLOCK):
-            te = min(ts + _RPBLOCK, len(t_slots))
 
-            def padded(a, fill):
-                out = np.full((_RPBLOCK,) + a.shape[1:], fill, a.dtype)
-                out[: te - ts] = a[ts:te]
-                return out
+    def reprune_flush():
+        """Run every staged reprune as _RPBLOCK-padded device chains
+        (ONE program set per degree rule regardless of append size or
+        layer count), fetch all selections with one packed transfer per
+        degree width, and write the adjacency tables back."""
+        for (max_deg, heuristic), segs in rp_staged.items():
+            rows_per_seg, curs = [], []
+            for layer, t_slots, _ii, _dd in segs:
+                table, row_of = store.adjacency(layer)
+                rows = t_slots if row_of is None else row_of[t_slots]
+                cur = table[rows]  # [T, max_deg] current adjacency (slots)
+                # drop tombstoned current neighbors BEFORE the merge, like
+                # the host oracle (host_algo._add_link keeps only live
+                # nbrs): a closer-but-deleted neighbor must not crowd out
+                # the new edge
+                cur = np.where(
+                    (cur >= 0) & store.deleted[np.maximum(cur, 0)], -1, cur
+                )
+                rows_per_seg.append(rows)
+                curs.append(cur)
+            t_all = np.concatenate([s[1] for s in segs])
+            cur_all = np.concatenate(curs)
+            inc_i_all = np.concatenate([s[2] for s in segs])
+            inc_d_all = np.concatenate([s[3] for s in segs])
+            total = len(t_all)
+            nchunk = (total + _RPBLOCK - 1) // _RPBLOCK
+            out_i = np.full((nchunk * _RPBLOCK, max_deg), -1, np.int32)
+            out_d = np.full((nchunk * _RPBLOCK, max_deg), np.inf, np.float32)
+            flight = []
+            for ts in range(0, total, _RPBLOCK):
+                te = min(ts + _RPBLOCK, total)
 
-            cur = padded(cur_all, -1)
-            cur_d_dev = K["nbr_dists"](
-                base_j,  # gathered rows are cast to f32 inside the kernel
-                base_sq,
-                jnp.asarray(padded(t_slots.astype(np.int64), 0)),
-                jnp.asarray(cur),
-                metric=metric,
-            )
-            mi, md = K["merge_dedupe"](
-                jnp.asarray(cur),
-                cur_d_dev,
-                jnp.asarray(padded(inc_i, -1)),
-                jnp.asarray(padded(inc_d, np.float32(np.inf))),
-            )
-            si, sd = K["select_block"](
-                mi, md, base_j, metric=metric, max_deg=max_deg,
-                heuristic=heuristic,
-            )
-            rp_pending.append((layer, rows_all[ts:te], si, sd, max_deg))
+                def padded(a, fill):
+                    out = np.full((_RPBLOCK,) + a.shape[1:], fill, a.dtype)
+                    out[: te - ts] = a[ts:te]
+                    return out
 
-    def reprune_drain():
-        """Fetch every queued reprune chain (ONE packed transfer per
-        degree width) and write the adjacency tables back. Deferral is
-        safe: target sets are disjoint within a layer, and no phase
-        between submit and drain reads a queued target's row."""
-        by_w: dict[int, list] = {}
-        for ent in rp_pending:
-            by_w.setdefault(ent[4], []).append(ent)
-        rp_pending.clear()
-        for w, ents in by_w.items():
-            out_i = np.full((len(ents) * _RPBLOCK, w), -1, np.int32)
-            out_d = np.full((len(ents) * _RPBLOCK, w), np.inf, np.float32)
-            flight = [
-                (k * _RPBLOCK, k * _RPBLOCK + len(rows), si, sd)
-                for k, (_l, rows, si, sd, _w) in enumerate(ents)
-            ]
+                si, sd = K["reprune_chain"](
+                    base_j,  # gathered rows cast to f32 inside the kernel
+                    base_sq,
+                    jnp.asarray(padded(t_all, 0)),
+                    jnp.asarray(padded(cur_all, -1)),
+                    jnp.asarray(padded(inc_i_all, -1)),
+                    jnp.asarray(padded(inc_d_all, np.float32(np.inf))),
+                    metric=metric,
+                    max_deg=max_deg,
+                    heuristic=heuristic,
+                )
+                # chunks are contiguous over t_all, so out row == t_all row
+                flight.append((ts, te, si, sd))
             _drain_flight(flight, out_i, out_d)
-            for k, (layer, rows, _si, _sd, _w) in enumerate(ents):
+            off = 0
+            for (layer, _t, _ii, _dd), rows in zip(segs, rows_per_seg):
                 table, _ = store.adjacency(layer)
-                table[rows] = out_i[k * _RPBLOCK : k * _RPBLOCK + len(rows)]
+                table[rows] = out_i[off : off + len(rows)]
                 store.mark_rows_bulk(layer, rows)
+                off += len(rows)
+        rp_staged.clear()
 
     heuristic0 = bool(store.params.neighbor_heuristic)
     max_new_level = int(levels.max(initial=0))
@@ -1102,29 +1161,55 @@ def append_batch(
             reprune_targets(uniq, inc_i, inc_d, 0, store.m0, heuristic0)
 
     # ---- upper layers: member-subset scans (host/XLA — member sets are
-    # geometrically small) ----
+    # geometrically small), pipelined ACROSS layers. A layer's scan reads
+    # only vectors + membership (fixed since append_alloc), its selection
+    # reads only its own scan, and adjacency writes are segmented per
+    # layer — so every layer's scan dispatches first (ONE packed fetch
+    # for all of them), one shared selection pass serves the single
+    # upper-layer degree rule (m, heuristic), and host writeback runs
+    # last. The previous per-layer form serialized 2 tunnel fetches per
+    # layer: ~0.3-0.9 s x ~12 layers of pure round-trip wall at 1M. ----
+    upper: list[list] = []  # [l, ls, new_l, base_row|None, cand_i, cand_d]
+    uflight: list = []
+    urow = 0
     for l in range(1, max_new_level + 1):
         ls = store.layers[l - 1]
         members = ls.node_slot[: ls.count].astype(np.int64)
         new_l = new_slots[levels >= l]
         if len(members) <= 1 or len(new_l) == 0:
             continue
-        with _phase(f"append_layer{l}"):
+        with _phase("append_upper_dispatch"):
             live_m = members[~store.deleted[members]]
             nm_l = len(live_m)
-            row_index = np.full(count, -1, np.int32)
-            row_index[live_m] = np.arange(nm_l, dtype=np.int32)
             c = min(KNN_CANDIDATES, max(nm_l - 1, 1))
             if use_fused and nm_l > 2048:
                 # masked scan over the CACHED full base (mask = layer
-                # membership) — no per-layer member-matrix upload, one
-                # program shape for every layer
-                member_mask = np.zeros(count, bool)
-                member_mask[live_m] = True
-                cand_i, cand_d = scan_masked(
-                    new_l, layer_invalid(member_mask), c
-                )
-            elif nm_l > 2048:
+                # membership ⇔ level >= l, computed on device) — no
+                # per-layer member-matrix OR mask upload, one program
+                # shape for every layer; dispatched into the shared
+                # flight, drained below (c == KNN_CANDIDATES here since
+                # nm_l > 2048)
+                inval = layer_invalid(l)
+                nq = len(new_l)
+                for qs in range(0, nq, _QBLOCK):
+                    qe = min(qs + _QBLOCK, nq)
+                    qb = np.zeros((_QBLOCK, store.dim), np.float32)
+                    qb[: qe - qs] = scan_rows(new_l[qs:qe])
+                    si = np.full(_QBLOCK, -1, np.int32)
+                    si[: qe - qs] = new_l[qs:qe]
+                    d_, i_ = knn_lane_topc_masked(
+                        jnp.asarray(qb.astype(dtype)), jnp.asarray(si),
+                        base_j, base_sq, inval,
+                        metric=metric, c=c, grid_tiles=grid_g,
+                        interpret=interp,
+                    )
+                    uflight.append((urow + qs, urow + qe, i_, d_))
+                upper.append([l, ls, new_l, urow, None, None])
+                urow += nq
+                continue
+            row_index = np.full(count, -1, np.int32)
+            row_index[live_m] = np.arange(nm_l, dtype=np.int32)
+            if nm_l > 2048:
                 # device scan over the member matrix (host numpy pairwise
                 # at 50k+ members costs minutes on a 1-core box)
                 mpad = _pad_pow4(nm_l, minimum=2048)
@@ -1167,34 +1252,82 @@ def append_batch(
                 cand_d = np.take_along_axis(d, order, axis=1)
                 cand_i = live_m[order].astype(np.int32)
                 cand_i = np.where(np.isinf(cand_d), -1, cand_i)
-            fwd_i, fwd_d = select_new(cand_i, cand_d, store.m, True)
-            rows = ls.row_of[new_l]
-            ls.nbrs[rows] = fwd_i
-            store.mark_rows_bulk(l, rows)
-            # reverse edges within the layer
-            src = np.repeat(new_l, fwd_i.shape[1])
-            dst = fwd_i.reshape(-1).astype(np.int64)
-            dd = fwd_d.reshape(-1)
-            keep = dst >= 0
-            src, dst, dd = src[keep], dst[keep], dd[keep]
-            if len(dst):
-                inc: dict[int, list] = {}
-                for s_, t_, d_ in zip(src, dst, dd):
-                    inc.setdefault(int(t_), []).append((float(d_), int(s_)))
-                t_slots = np.asarray(sorted(inc), np.int64)
-                t_slots = t_slots[~store.deleted[t_slots]]
-                ii = np.full((len(t_slots), store.m), -1, np.int32)
-                idd = np.full((len(t_slots), store.m), np.inf, np.float32)
-                for r_, t_ in enumerate(t_slots):
-                    for j, (d_, s_) in enumerate(
-                        sorted(inc[int(t_)])[: store.m]
-                    ):
-                        ii[r_, j] = s_
-                        idd[r_, j] = d_
-                reprune_targets(t_slots, ii, idd, l, store.m, True)
+            upper.append([l, ls, new_l, None, cand_i, cand_d])
 
-    with _phase("append_reverse_drain"):
-        reprune_drain()
+    if uflight:
+        with _phase("append_upper_scan_drain"):
+            # ONE packed fetch covers every fused layer's scan; candidates
+            # come back heap-ordered, sort rows once for all layers
+            all_i = np.full((urow, KNN_CANDIDATES), -1, np.int32)
+            all_d = np.full((urow, KNN_CANDIDATES), np.inf, np.float32)
+            _drain_flight(uflight, all_i, all_d)
+            order = np.argsort(all_d, axis=1, kind="stable")
+            all_i = np.take_along_axis(all_i, order, axis=1)
+            all_d = np.take_along_axis(all_d, order, axis=1)
+            for ent in upper:
+                if ent[3] is not None:
+                    b, nq = ent[3], len(ent[2])
+                    ent[4] = all_i[b : b + nq]
+                    ent[5] = all_d[b : b + nq]
+
+    if upper:
+        with _phase("append_upper_select"):
+            # every upper layer shares one degree rule (m, heuristic): one
+            # selection pass over the concatenation, split back per layer
+
+            def _padw(a, fill):
+                w = a.shape[1]
+                if w >= KNN_CANDIDATES:
+                    return a[:, :KNN_CANDIDATES]
+                return np.pad(
+                    a, ((0, 0), (0, KNN_CANDIDATES - w)),
+                    constant_values=fill,
+                )
+
+            cat_i = np.concatenate([_padw(e[4], -1) for e in upper])
+            cat_d = np.concatenate(
+                [_padw(e[5], np.float32(np.inf)) for e in upper]
+            )
+            fwd_i_all, fwd_d_all = select_new(cat_i, cat_d, store.m, True)
+
+        off = 0
+        for l, ls, new_l, _b, _ci, _cd in upper:
+            nq = len(new_l)
+            fwd_i = fwd_i_all[off : off + nq]
+            fwd_d = fwd_d_all[off : off + nq]
+            off += nq
+            with _phase("append_upper_write"):
+                rows = ls.row_of[new_l]
+                ls.nbrs[rows] = fwd_i
+                store.mark_rows_bulk(l, rows)
+                # reverse edges within the layer
+                src = np.repeat(new_l, fwd_i.shape[1])
+                dst = fwd_i.reshape(-1).astype(np.int64)
+                dd = fwd_d.reshape(-1)
+                keep = dst >= 0
+                src, dst, dd = src[keep], dst[keep], dd[keep]
+                if len(dst):
+                    inc: dict[int, list] = {}
+                    for s_, t_, d_ in zip(src, dst, dd):
+                        inc.setdefault(int(t_), []).append(
+                            (float(d_), int(s_))
+                        )
+                    t_slots = np.asarray(sorted(inc), np.int64)
+                    t_slots = t_slots[~store.deleted[t_slots]]
+                    ii = np.full((len(t_slots), store.m), -1, np.int32)
+                    idd = np.full(
+                        (len(t_slots), store.m), np.inf, np.float32
+                    )
+                    for r_, t_ in enumerate(t_slots):
+                        for j, (d_, s_) in enumerate(
+                            sorted(inc[int(t_)])[: store.m]
+                        ):
+                            ii[r_, j] = s_
+                            idd[r_, j] = d_
+                    reprune_targets(t_slots, ii, idd, l, store.m, True)
+
+    with _phase("append_reverse_flush"):
+        reprune_flush()
 
     # entry point: a new top level promotes its (first) node
     if max_new_level > store.max_layer:
@@ -1202,18 +1335,7 @@ def append_batch(
         store.max_layer = max_new_level
         store.entry_slot = int(top)
     store.version += 1
-    if _PROFILE:
-        import sys
-
-        total = sum(_prof.values())
-        print(
-            "[append profile] "
-            + " ".join(f"{k}={v:.1f}s" for k, v in sorted(_prof.items()))
-            + f" | total={total:.1f}s",
-            file=sys.stderr,
-            flush=True,
-        )
-        _prof.clear()
+    _dump_profile("append")
     store.linked_count = max(store.linked_count, store.count)
     return [int(s) for s in slots]
 

@@ -231,7 +231,13 @@ def append_manifest(
         qb = upload((B, dim), np.float32, cast=dtype)
         si = upload((B,), np.int32, -1)
         if fused:
-            inval = upload((npad,), np.float32, 1)
+            # masks are computed on device from (levels, deleted) —
+            # warm that program with the true lineage
+            inval = K["layer_mask"](
+                upload((npad,), np.int8),
+                upload((npad,), np.bool_, True),
+                np.int32(1),
+            )
             d_, i_ = done(
                 knn_lane_topc_masked(
                     qb, si, base, base_sq, inval, metric=metric, c=c,
@@ -263,20 +269,16 @@ def append_manifest(
             _fetch_packed([sd] * arity, [si] * arity)
 
     def reprune_job(deg, h):
-        """The reverse-reprune chain at its fixed pad, chained like
-        append_batch: nbr_dists output feeds the merge."""
-        t = upload((T,), np.int64)
-        cur = upload((T, deg), np.int32, -1)
-        cur_d = done(K["nbr_dists"](base, base_sq, t, cur, metric=metric))
-        mi, md = done(
-            K["merge_dedupe"](
-                cur, cur_d, upload((T, deg), np.int32, -1),
-                upload((T, deg), np.float32, np.inf),
-            )
-        )
+        """The fused one-dispatch reverse-reprune chain at its fixed pad,
+        fed with the same upload lineage as reprune_flush."""
         si, sd = done(
-            K["select_block"](
-                mi, md, base, metric=metric, max_deg=deg, heuristic=h
+            K["reprune_chain"](
+                base, base_sq,
+                upload((T,), np.int64),
+                upload((T, deg), np.int32, -1),
+                upload((T, deg), np.int32, -1),
+                upload((T, deg), np.float32, np.inf),
+                metric=metric, max_deg=deg, heuristic=h,
             )
         )
         for arity in (4, 16, 64):

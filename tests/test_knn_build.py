@@ -342,7 +342,9 @@ def test_batched_append_scan_cache_interpret(rng, monkeypatch):
         use_device=True,
     )
     idx.bulk_insert(list(range(1, n1 + 1)), base[:n1])
-    assert idx._append_scan_cache == {}  # bulk build doesn't populate it
+    # an UNFUSED build (CPU, SCNT_BUILD_INTERPRET unset) can't seed the
+    # cache; the fused build's seeding is covered separately below
+    assert idx._append_scan_cache == {}
 
     idx.bulk_insert(list(range(n1 + 1, n1 + n2 + 1)), base[n1 : n1 + n2])
     cache = idx._append_scan_cache
@@ -393,6 +395,71 @@ def test_batched_append_scan_cache_interpret(rng, monkeypatch):
         assert (rows >= 0).sum(axis=1).max(initial=0) <= store.m
         valid = rows[rows >= 0]
         assert np.all(ls.row_of[valid] >= 0), f"layer {l} non-member nbrs"
+
+
+def test_fused_build_seeds_append_scan_cache(rng, monkeypatch):
+    """A FUSED bulk build seeds the append scan cache device-side (the
+    ctx base gathered into slot order): the first append after a build
+    must HIT the cache — incremental row scatter, no corpus re-upload —
+    and the seeded rows must equal the store's scan-form rows (i.e. the
+    order->slot permutation is correct)."""
+    monkeypatch.setenv("SCNT_BUILD_SCAN_DTYPE", "bfloat16")
+    monkeypatch.setenv("SCNT_BUILD_INTERPRET", "1")
+    monkeypatch.setenv("SCNT_APPEND_INTERPRET", "1")
+
+    n1, n2 = 2500, 2100
+    base = clustered(rng, n1 + n2)
+    idx = HNSWIndex(
+        dim=base.shape[1],
+        params=HNSWParams(
+            m=8, ef_construction=60, ef_search=50, seed=7,
+            neighbor_heuristic=True,
+        ),
+        metric=DistanceMetric.L2,
+        use_device=True,
+    )
+    idx.bulk_insert(list(range(1, n1 + 1)), base[:n1])
+    cache = idx._append_scan_cache
+    assert cache, "fused build must seed the append scan cache"
+    assert cache["lineage"] is idx.store.lineage
+    assert cache["vec_version"] == idx.store.vec_version
+    cached = np.asarray(cache["base_j"], np.float32)
+    np.testing.assert_allclose(
+        cached[:n1], base[:n1].astype(cached.dtype), rtol=1e-2, atol=1e-2
+    )
+    # pad rows must be inert (zero) so masked scans can't surface them
+    assert not np.any(cached[n1:])
+
+    # first append must take the scatter (cache-HIT) path
+    from scintirete_tpu.index.device import DeviceGraph
+
+    orig = DeviceGraph._scatter_into
+    calls = []
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(DeviceGraph, "_scatter_into", counting)
+    idx.bulk_insert(list(range(n1 + 1, n1 + n2 + 1)), base[n1:])
+    assert calls, "append after a fused build must hit the seeded cache"
+    cached = np.asarray(cache["base_j"], np.float32)
+    count = idx.store.count
+    np.testing.assert_allclose(
+        cached[:count],
+        idx.store.vectors[:count].astype(cached.dtype),
+        rtol=1e-2, atol=1e-2,
+    )
+
+    # appended nodes are searchable at quality
+    res = idx.search_batch(
+        base[n1 : n1 + 128], SearchParams(top_k=10, ef_search=50)
+    )
+    hits = sum(
+        1 for b, row in enumerate(res)
+        if any(r[0] == n1 + 1 + b for r in row)
+    )
+    assert hits >= 124, hits
 
 
 def test_batched_append_keeps_device_mirror(rng):

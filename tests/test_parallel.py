@@ -181,9 +181,9 @@ class TestShardedBuildAndSync:
         calls = []
         real = knn_build.build
 
-        def spy(store, vectors):
+        def spy(store, vectors, **kw):
             calls.append(len(vectors))
-            return real(store, vectors)
+            return real(store, vectors, **kw)
 
         monkeypatch.setattr(knn_build, "build", spy)
         monkeypatch.setattr(knn_build, "MIN_BUILD_SIZE", 64)
