@@ -7,7 +7,9 @@ auth + observability; recovery on start; gRPC + HTTP + metrics listeners;
 SIGINT/SIGTERM graceful shutdown with a final fsync.
 
 TPU twist: -profile starts the JAX profiler trace server (the reference's
-pprof analogue, SURVEY.md §5 "Tracing / profiling").
+pprof analogue, SURVEY.md §5 "Tracing / profiling"); -trace DIR records a
+profiler trace to a directory for the server's lifetime (the reference's
+`runtime/trace`-to-file flag, cmd/scintirete-server/main.go:60-87).
 """
 
 from __future__ import annotations
@@ -40,6 +42,11 @@ def main(argv=None) -> int:
         help="start the JAX profiler trace server on PORT (0 = off)",
     )
     parser.add_argument(
+        "-trace", "--trace", default=None, metavar="DIR",
+        help="record a JAX profiler trace to DIR for the server's lifetime "
+        "(reference -trace analogue; view with TensorBoard/XProf)",
+    )
+    parser.add_argument(
         "--no-device", action="store_true",
         help="host-only mode (no TPU dispatch); for development",
     )
@@ -68,6 +75,14 @@ def main(argv=None) -> int:
 
         jax.profiler.start_server(args.profile)
         logger.info("jax profiler trace server started", port=args.profile)
+
+    trace_active = False
+    if args.trace:
+        import jax
+
+        jax.profiler.start_trace(args.trace)
+        trace_active = True
+        logger.info("jax profiler trace recording", dir=args.trace)
 
     import os
 
@@ -153,6 +168,11 @@ def main(argv=None) -> int:
     signal.signal(signal.SIGTERM, handle_signal)
 
     stop_event.wait()
+    if trace_active:
+        import jax
+
+        jax.profiler.stop_trace()
+        logger.info("jax profiler trace written", dir=args.trace)
     monitor.stop()
     grpc_server.stop()
     http_gateway.stop()
