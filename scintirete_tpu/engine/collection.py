@@ -277,6 +277,34 @@ class Collection:
             np.asarray(query, np.float32)[None, :], params
         )[0]
 
+    def search_batch_arrays(
+        self, queries: np.ndarray, params: SearchParams
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Packed-array search (BatchSearch RPC): (ids u64 [B,k], dists f32
+        [B,k]); id 0 / +inf mark missing hits. No metadata, no SearchResult
+        objects — response shaping is two tobytes() calls."""
+        with self._rw.read():
+            queries = np.asarray(queries, np.float32)
+            if self._index is None:
+                b = queries.shape[0]
+                return (np.zeros((b, 0), np.uint64),
+                        np.zeros((b, 0), np.float32))
+            if queries.shape[-1] != self._dim:
+                raise dimension_mismatch(self._dim, int(queries.shape[-1]))
+            fast = getattr(self._index, "search_batch_arrays", None)
+            if fast is not None:
+                return fast(queries, params)
+            # index types without the packed path (e.g. sharded): convert
+            raw = self._index.search_batch(queries, params)
+            k = max((len(r) for r in raw), default=0)
+            ids = np.zeros((len(raw), k), np.uint64)
+            dists = np.full((len(raw), k), np.inf, np.float32)
+            for i, row in enumerate(raw):
+                for j, (vid, dist) in enumerate(row):
+                    ids[i, j] = vid
+                    dists[i, j] = dist
+            return ids, dists
+
     def search_batch(
         self, queries: np.ndarray, params: SearchParams
     ) -> list[list[SearchResult]]:

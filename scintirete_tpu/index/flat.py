@@ -295,6 +295,29 @@ class FlatIndex:
 
         return assemble_results(self.slot_to_id, slots_b, dists_b)
 
+    def search_batch_arrays(
+        self, queries: np.ndarray, params: SearchParams
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Packed-array search for the BatchSearch RPC: (ids u64 [B,k],
+        dists f32 [B,k]); id 0 / +inf mark missing hits. Skips the per-hit
+        tuple assembly — the response-shaping wall at B>=1024."""
+        from scintirete_tpu.index.results import assemble_arrays
+
+        queries = np.asarray(queries, np.float32)
+        if queries.ndim != 2 or queries.shape[1] != self.dim:
+            raise dimension_mismatch(self.dim, int(queries.shape[-1]))
+        with self._rw.read():
+            if self.live == 0:
+                b = queries.shape[0]
+                return (np.zeros((b, 0), np.uint64),
+                        np.zeros((b, 0), np.float32))
+            k = min(params.top_k, self.live)
+            if self.use_device:
+                slots_b, dists_b = self._device_search(queries, k)
+            else:
+                slots_b, dists_b = self._host_search(queries, k)
+            return assemble_arrays(self.slot_to_id, slots_b, dists_b)
+
     # ----- pipelined serving -----
     #
     # The serving pass over a tunneled TPU is TRANSFER-bound: at 1M x

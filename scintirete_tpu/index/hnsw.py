@@ -344,6 +344,33 @@ class HNSWIndex:
 
         return assemble_results(self.slot_to_id, slots_b, dists_b)
 
+    def search_batch_arrays(
+        self, queries: np.ndarray, params: SearchParams
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Packed-array search for the BatchSearch RPC: (ids u64 [B,k],
+        dists f32 [B,k]); id 0 / +inf mark missing hits (see
+        FlatIndex.search_batch_arrays)."""
+        from scintirete_tpu.index.results import assemble_arrays
+
+        queries = np.asarray(queries, np.float32)
+        if queries.ndim != 2 or queries.shape[1] != self.store.dim:
+            from scintirete_tpu.errors import dimension_mismatch
+
+            raise dimension_mismatch(self.store.dim, int(queries.shape[-1]))
+        with self._rw.read():
+            if self.store.live == 0:
+                b = queries.shape[0]
+                return (np.zeros((b, 0), np.uint64),
+                        np.zeros((b, 0), np.float32))
+            if (
+                self.use_device
+                and self.store.live >= self.device_search_min_size
+            ):
+                slots_b, dists_b = self._device_search(queries, params)
+            else:
+                slots_b, dists_b = self._host_search(queries, params)
+            return assemble_arrays(self.slot_to_id, slots_b, dists_b)
+
     def search_submit(self, queries: np.ndarray, params: SearchParams):
         """Dispatch a batched search (upload + kernels) without fetching;
         pair with search_collect — see FlatIndex.search_submit."""

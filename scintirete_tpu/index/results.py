@@ -28,3 +28,22 @@ def assemble_results(
             ids_b.tolist(), dists_b.tolist(), valid_b.tolist()
         )
     ]
+
+
+def assemble_arrays(
+    slot_to_id: np.ndarray, slots_b: np.ndarray, dists_b: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Packed variant for the BatchSearch RPC: (ids u64 [B,k], dists f32
+    [B,k]) with id 0 / +inf marking missing hits (ID 0 is never assigned —
+    reference hnsw.go:139 reserves it as the no-entrypoint sentinel). No
+    per-hit Python objects: two gathers and a where, so a 4096x10 result
+    costs microseconds instead of the ~40k tuple constructions the
+    list-of-tuples assembly pays."""
+    valid = slots_b >= 0
+    ids_b = np.where(valid, slot_to_id[np.maximum(slots_b, 0)], 0).astype(
+        np.uint64
+    )
+    dists = np.where(valid, dists_b, np.float32(np.inf)).astype(
+        np.float32, copy=False
+    )
+    return ids_b, dists

@@ -470,6 +470,54 @@ class ScintireteService:
 
         return self._instrumented("Search", req.auth, op)
 
+    def BatchSearch(self, req: pb.BatchSearchRequest) -> pb.BatchSearchResponse:
+        """Packed-payload batched search (TPU extension; see the proto).
+
+        The reference-compatible Search RPC pays per-float proto decode on
+        `repeated float` and per-hit message construction — ~190x below the
+        engine rate at this box's core count. Here queries arrive as one
+        little-endian bytes blob (f32 or f16) and results leave as two
+        blobs; the only per-request Python costs are np.frombuffer views
+        and two tobytes()."""
+
+        def op(user):
+            col = self._collection(req.db_name, req.collection_name)
+            self._require(req.num_queries > 0, "num_queries must be > 0")
+            self._require(req.dim > 0, "dim must be > 0")
+            self._require(req.top_k > 0, "top_k must be > 0")
+            dtype = np.dtype(np.float16 if req.dtype == "f16" else np.float32)
+            self._require(
+                req.dtype in ("", "f32", "f16"),
+                f"unsupported dtype {req.dtype!r} (want f32 or f16)",
+            )
+            expect = req.num_queries * req.dim * dtype.itemsize
+            self._require(
+                len(req.queries_packed) == expect,
+                f"queries_packed is {len(req.queries_packed)} bytes, "
+                f"want {expect} for {req.num_queries}x{req.dim} {dtype}",
+            )
+            queries = np.frombuffer(req.queries_packed, dtype).reshape(
+                req.num_queries, req.dim
+            )
+            if dtype == np.float16:
+                queries = queries.astype(np.float32)
+            params = SearchParams(
+                top_k=req.top_k,
+                ef_search=req.ef_search if req.HasField("ef_search") else None,
+            )
+            ids, dists = col.search_batch_arrays(queries, params)
+            self.metrics.vector_operations_total.inc(
+                operation="search", collection=req.collection_name
+            )
+            return pb.BatchSearchResponse(
+                ids_packed=np.ascontiguousarray(ids).tobytes(),
+                distances_packed=np.ascontiguousarray(dists).tobytes(),
+                num_queries=int(ids.shape[0]),
+                top_k=int(ids.shape[1]),
+            )
+
+        return self._instrumented("BatchSearch", req.auth, op)
+
     def _batched_search(self, col, query, params):
         key = (col.uid, params.top_k, params.ef_search, params.include_vector)
         return self.batcher.submit(
@@ -642,6 +690,7 @@ RPC_METHODS = (
     "ListEmbeddingModels",
     "Save",
     "BgSave",
+    "BatchSearch",  # packed-payload extension (not in the reference 16)
 )
 
 # request / response types per method (GetCollectionInfo returns CollectionInfo,
@@ -666,4 +715,5 @@ RPC_TYPES = {
     ),
     "Save": (pb.SaveRequest, pb.SaveResponse),
     "BgSave": (pb.BgSaveRequest, pb.BgSaveResponse),
+    "BatchSearch": (pb.BatchSearchRequest, pb.BatchSearchResponse),
 }

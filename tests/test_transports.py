@@ -108,6 +108,71 @@ class TestGrpcTransport:
         resp = c.Save(pb.SaveRequest(auth=auth))
         assert resp.success
 
+    def test_batch_search_packed(self, grpc_pair, rng):
+        """BatchSearch (packed-payload extension): f32 and f16 queries in,
+        packed u64 ids / f32 distances out, agreeing with plain Search."""
+        c = grpc_pair
+        auth = pb.AuthInfo(password=PASSWORD)
+        c.CreateDatabase(pb.CreateDatabaseRequest(auth=auth, name="db"))
+        c.CreateCollection(
+            pb.CreateCollectionRequest(
+                auth=auth, db_name="db", collection_name="col",
+                metric_type=pb.L2,
+            )
+        )
+        vecs = rng.standard_normal((32, 8)).astype(np.float32)
+        req = pb.InsertVectorsRequest(
+            auth=auth, db_name="db", collection_name="col"
+        )
+        for v in vecs:
+            req.vectors.append(pb.Vector(elements=v.tolist()))
+        c.InsertVectors(req)
+
+        queries = vecs[:5]
+        resp = c.BatchSearch(
+            pb.BatchSearchRequest(
+                auth=auth, db_name="db", collection_name="col",
+                queries_packed=queries.tobytes(), num_queries=5, dim=8,
+                top_k=3,
+            )
+        )
+        assert resp.num_queries == 5 and resp.top_k == 3
+        ids = np.frombuffer(resp.ids_packed, np.uint64).reshape(5, 3)
+        dists = np.frombuffer(resp.distances_packed, np.float32).reshape(5, 3)
+        # self-query: own id first at distance ~0
+        assert list(ids[:, 0]) == [1, 2, 3, 4, 5]
+        assert np.allclose(dists[:, 0], 0, atol=1e-2)
+        # agrees with the reference-compatible Search RPC
+        s = c.Search(
+            pb.SearchRequest(
+                auth=auth, db_name="db", collection_name="col",
+                query_vector=queries[3].tolist(), top_k=3,
+            )
+        )
+        assert [r.id for r in s.results] == list(ids[3])
+
+        # f16 payload round-trips (query dtype only; results stay f32)
+        resp16 = c.BatchSearch(
+            pb.BatchSearchRequest(
+                auth=auth, db_name="db", collection_name="col",
+                queries_packed=queries.astype(np.float16).tobytes(),
+                num_queries=5, dim=8, top_k=3, dtype="f16",
+            )
+        )
+        ids16 = np.frombuffer(resp16.ids_packed, np.uint64).reshape(5, 3)
+        assert list(ids16[:, 0]) == [1, 2, 3, 4, 5]
+
+        # size-mismatch payload is INVALID_ARGUMENT
+        with pytest.raises(grpc.RpcError) as exc:
+            c.BatchSearch(
+                pb.BatchSearchRequest(
+                    auth=auth, db_name="db", collection_name="col",
+                    queries_packed=b"\x00" * 10, num_queries=5, dim=8,
+                    top_k=3,
+                )
+            )
+        assert exc.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+
 
 class TestHttpGateway:
     def test_health_no_auth(self, http_gateway):
