@@ -207,12 +207,14 @@ def s5_flat_serving():
             )
 
 
-def s6_latency():
+def s6_latency(which=("hnsw", "flat")):
     ef = result.get("hnsw_ef", 12)
     for name, idx, sp in (
         ("hnsw", hidx, SearchParams(top_k=K, ef_search=ef)),
         ("flat", flat, SearchParams(top_k=K)),
     ):
+        if name not in which:
+            continue
         for b in (1, 32):
             idx.search_batch(queries[:b], sp)  # warm this shape
             ts = []
@@ -255,14 +257,34 @@ def s7_append():
     result["append_trials"] = trials
 
 
-guard("0. prewarm", s0_prewarm)
-guard("1. hnsw build", s1_build_hnsw)
-guard("2. flat build", s2_build_flat)
-guard("3. ground truth", s3_ground_truth)
-guard("4. hnsw ef sweep", s4_hnsw_sweep)
-guard("5. flat serving", s5_flat_serving)
-guard("6. latency", s6_latency)
-guard("7. append", s7_append)
+if N < 6_000_000:
+    guard("0. prewarm", s0_prewarm)
+    guard("1. hnsw build", s1_build_hnsw)
+    guard("2. flat build", s2_build_flat)
+    guard("3. ground truth", s3_ground_truth)
+    guard("4. hnsw ef sweep", s4_hnsw_sweep)
+    guard("5. flat serving", s5_flat_serving)
+    guard("6. latency", s6_latency)
+    guard("7. append", s7_append)
+else:
+    # HBM-safe order at 8M: flat (f32+int8 ~5 GB) and HNSW (~7 GB) don't
+    # fit together with the ground-truth upload on one 16 GB chip, so the
+    # flat half runs first and is freed before the graph is built.
+    guard("0. prewarm", s0_prewarm)
+    guard("2. flat build", s2_build_flat)
+    guard("3. ground truth", s3_ground_truth)
+    guard("5. flat serving", s5_flat_serving)
+    guard("6a. flat latency", lambda: s6_latency(("flat",)))
+    print("freeing flat device state before the graph build", flush=True)
+    flat._dev = {}  # drop device corpus buffers
+    flat._dev_version = -1
+    import gc
+
+    gc.collect()
+    guard("1. hnsw build", s1_build_hnsw)
+    guard("4. hnsw ef sweep", s4_hnsw_sweep)
+    guard("6b. hnsw latency", lambda: s6_latency(("hnsw",)))
+    guard("7. append", s7_append)
 
 result["finished"] = time.strftime("%Y-%m-%dT%H:%M:%S")
 if "hnsw_qps" in result and "flat_qps" in result:
