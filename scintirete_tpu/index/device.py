@@ -607,6 +607,19 @@ def _fetch_packed(dists: list, slots: list) -> tuple[np.ndarray, np.ndarray]:
     return _unpack_host(_pack_deferred(dists, slots))
 
 
+@jax.jit
+def _pack_idx(slots: list):
+    """Device-side concat of index-only results into ONE buffer. Used by
+    flushes whose host writeback needs only the selected ids (the append's
+    reverse-reprune never reads the distances back) — half the tunnel fetch
+    of packing (dist, slot) pairs."""
+    return jnp.concatenate(slots) if len(slots) > 1 else slots[0]
+
+
+def _fetch_packed_idx(slots: list) -> np.ndarray:
+    return np.asarray(_pack_idx(slots))
+
+
 def _pad_pow2(n: int, minimum: int = 64) -> int:
     n = max(n, minimum)
     return 1 << (n - 1).bit_length()

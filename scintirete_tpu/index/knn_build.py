@@ -79,6 +79,9 @@ _ROUND0 = 128  # first-round prefix size (sparse enough for long-range edges)
 _QBLOCK = 2048  # rows scanned per kNN dispatch
 _RPBLOCK = 8192  # reprune targets per device chain (FIXED pad: one
 # program set per degree rule regardless of append size)
+_W_INC_SMALL = 8  # narrow incoming-width bucket for the resident flush:
+# targets with <= this many incoming edges (almost all of them) upload a
+# [_RPBLOCK, 8] id block instead of [_RPBLOCK, m0]
 _TILE = 131072  # base columns per scan tile
 
 
@@ -286,6 +289,68 @@ def _kernels():
             heuristic=heuristic,
         )
 
+    @functools.partial(
+        jax.jit, static_argnames=("metric", "max_deg", "heuristic")
+    )
+    def reprune_resident(
+        base, base_sq, nbrs0, deleted, t_rows, inc_i,
+        metric: int, max_deg: int, heuristic: bool,
+    ):
+        """Reverse-edge reprune against the DEVICE-RESIDENT layer-0
+        adjacency: gathers each target's current neighbors from the cached
+        table and recomputes every candidate distance on the MXU, so the
+        flush uploads only target rows + incoming ids (int32) and fetches
+        only the selected ids. The host-path chain re-uploaded [T, max_deg]
+        current adjacency the device already held plus f32 incoming
+        distances — ~3x the tunnel traffic (VERDICT r3 item 4). Incoming
+        edge distances are symmetric (d(new, t) == d(t, new) for L2/cos/
+        IP), so in-kernel recomputation is exact. Returns indices only."""
+        cur = nbrs0[t_rows]  # [B, max_deg]
+        # drop tombstoned current neighbors BEFORE the merge (host-oracle
+        # semantics: a closer-but-deleted neighbor must not crowd out the
+        # new edge)
+        cur = jnp.where((cur >= 0) & deleted[jnp.maximum(cur, 0)], -1, cur)
+        cand = jnp.concatenate([cur, inc_i], axis=1)
+        d = nbr_dists(base, base_sq, t_rows, cand, metric)
+        w = cur.shape[1]
+        mi, md = merge_dedupe(cand[:, :w], d[:, :w], cand[:, w:], d[:, w:])
+        si, _ = select_block(
+            mi, md, base, metric=metric, max_deg=max_deg,
+            heuristic=heuristic,
+        )
+        return si
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("metric", "max_deg", "fanout", "heuristic", "cpool"),
+    )
+    def refine_chain(
+        base, base_sq, adj_j, start,
+        metric: int, max_deg: int, fanout: int, heuristic: bool, cpool: int,
+    ):
+        """One NN-descent refinement tile (one dispatch): rows
+        [start, start+_QBLOCK) take their current neighbors plus each
+        neighbor's top-`fanout` neighbors as candidates, score them
+        exactly (gather + MXU einsum), dedupe, keep the nearest `cpool`,
+        and re-select max_deg. Capping at cpool keeps the heuristic
+        selection's C^2 cross-distance einsum at the same width as the
+        build's (C=64), not the 288-wide raw pool."""
+        B = _QBLOCK  # rows per tile
+        rows = jax.lax.iota(jnp.int32, B) + start
+        cur = jax.lax.dynamic_slice_in_dim(adj_j, start, B, 0)  # [B, W]
+        nbr2 = adj_j[jnp.maximum(cur, 0)][:, :, :fanout]  # [B, W, fanout]
+        nbr2 = jnp.where(cur[:, :, None] < 0, -1, nbr2).reshape(B, -1)
+        cand = jnp.concatenate([cur, nbr2], axis=1)
+        cand = jnp.where(cand == rows[:, None], -1, cand)
+        d = nbr_dists(base, base_sq, rows, cand, metric)
+        w = cur.shape[1]
+        mi, md = merge_dedupe(cand[:, :w], d[:, :w], cand[:, w:], d[:, w:])
+        mi, md = mi[:, :cpool], md[:, :cpool]
+        return select_block(
+            mi, md, base, metric=metric, max_deg=max_deg,
+            heuristic=heuristic,
+        )
+
     @jax.jit
     def layer_mask(lev, deleted, l):
         """[Np] f32 invalid mask for layer l: 1.0 = not scannable
@@ -302,6 +367,8 @@ def _kernels():
         "nbr_dists": nbr_dists,
         "slice_block": slice_block,
         "reprune_chain": reprune_chain,
+        "reprune_resident": reprune_resident,
+        "refine_chain": refine_chain,
         "layer_mask": layer_mask,
     }
 
@@ -675,15 +742,32 @@ def _layer_adj(ctx, nm, max_deg, heuristic):
         inc_i, inc_d = _incoming_host(fwd_i, fwd_d, max_deg)
 
     # ---- pass 2: merge device-resident forward with incoming -> final
+    out, _ = _merge_incoming_pass(
+        ctx, dev_fwd, inc_i, inc_d, nm, max_deg, heuristic,
+        phase=f"final_n{nm}",
+    )
+    return out
+
+
+def _merge_incoming_pass(
+    ctx, dev_tiles, inc_i, inc_d, nm, max_deg, heuristic, phase
+):
+    """Merge per-tile device-resident selections with host incoming edges
+    and re-select: the shared second half of the bulk build and of every
+    NN-descent refinement round. Returns (adjacency, distances) [nm,
+    max_deg] on host."""
+    import jax.numpy as jnp
+
+    K = _kernels()
     out = np.full((nm, max_deg), -1, np.int32)
     out_d = np.full((nm, max_deg), np.inf, np.float32)
-    with _phase(f"final_n{nm}"):
+    with _phase(phase):
         # per-tile incoming uploads: device_put is async, so the tile
         # transfers pipeline with the merge/select chain (a single padded
         # whole-table upload would need a shape-keyed device slice program
         # per layer size — the variant class this refactor removes)
         in_flight = []
-        for qs, qe, si_, sd_ in dev_fwd:
+        for qs, qe, si_, sd_ in dev_tiles:
             ii_h = np.full((_QBLOCK, max_deg), -1, np.int32)
             dd_h = np.full((_QBLOCK, max_deg), np.inf, np.float32)
             lo, hi = qs, min(qs + _QBLOCK, nm)
@@ -698,7 +782,55 @@ def _layer_adj(ctx, nm, max_deg, heuristic):
             )
             in_flight.append((qs, qe, fi, fd))
         _drain_flight(in_flight, out, out_d)
-    return out
+    return out, out_d
+
+
+# neighbors' top-N taken as refinement candidates; 4 keeps the raw pool at
+# max_deg*(1+4)=160 wide for m0=32 — the gather traffic is the round's
+# dominant cost and scales linearly with this
+_REFINE_FANOUT = 4
+
+
+def _refine_layer0(ctx, adj, nm, max_deg, heuristic, rounds):
+    """NN-descent refinement of a built layer-0 adjacency (device path).
+
+    The doubling-round constructor scans each row only against the prefix
+    of its own round, so early rows' forward kNN is incomplete (they rely
+    on capped reverse edges). Each refinement round proposes every row's
+    neighbors-of-neighbors, scores them exactly on the MXU, re-selects,
+    and re-applies the reverse-edge cap — the classic kNN-descent step,
+    which converges because graph distance to the true kNN shrinks every
+    round. No reference equivalent (sequential insertion, hnsw.go:190-257,
+    has no bulk-quality knob); gated by HNSWParams.refine_rounds."""
+    import jax.numpy as jnp
+
+    K = _kernels()
+    npad = ctx["npad"]
+    for r in range(rounds):
+        with _phase(f"refine{r}_fwd_n{nm}"):
+            adj_pad = np.full((npad, max_deg), -1, np.int32)
+            adj_pad[:nm] = adj
+            adj_j = jnp.asarray(adj_pad)
+            flight = []
+            fwd_i = np.full((nm, max_deg), -1, np.int32)
+            fwd_d = np.full((nm, max_deg), np.inf, np.float32)
+            for qs in range(0, nm, _QBLOCK):
+                qe = min(qs + _QBLOCK, nm)
+                fi, fd = K["refine_chain"](
+                    ctx["base_j"], ctx["base_sq"], adj_j, np.int32(qs),
+                    metric=ctx["metric"], max_deg=max_deg,
+                    fanout=_REFINE_FANOUT, heuristic=heuristic,
+                    cpool=KNN_CANDIDATES,
+                )
+                flight.append((qs, qe, fi, fd))
+            _drain_flight(flight, fwd_i, fwd_d)
+        with _phase("refine_incoming"):
+            inc_i, inc_d = _incoming_host(fwd_i, fwd_d, max_deg)
+        adj, _ = _merge_incoming_pass(
+            ctx, flight, inc_i, inc_d, nm, max_deg, heuristic,
+            phase=f"refine{r}_final_n{nm}",
+        )
+    return adj
 
 def build(
     store: GraphStore,
@@ -757,6 +889,16 @@ def build(
             )
         else:
             adj = _layer_adj(ctx, nm, max_deg, heuristic)
+            if l == 0:
+                env = os.environ.get("SCNT_BUILD_REFINE")
+                rounds = (
+                    int(env) if env is not None
+                    else int(getattr(store.params, "refine_rounds", 0) or 0)
+                )
+                if rounds > 0:
+                    adj = _refine_layer0(
+                        ctx, adj, nm, max_deg, heuristic, rounds
+                    )
         mapped = np.where(adj >= 0, members[np.maximum(adj, 0)], -1).astype(
             np.int32
         )
@@ -854,6 +996,9 @@ def append_batch(
     n_new = len(vectors)
     metric = int(store.metric)
     vv0 = store.vec_version  # cache validity is judged pre-alloc
+    gv0 = store.version  # adjacency-cache validity: ANY mutation since the
+    # last append (deletes, set_neighbors, ...) invalidates the device-
+    # resident layer-0 table; our own appends re-key it at exit
     with _phase("append_alloc"):
         levels = store.draw_levels(n_new)
         store.reserve(levels)
@@ -914,6 +1059,44 @@ def append_batch(
             base_j=base_j,
             base_sq=base_sq,
         )
+
+    # ---- device-resident layer-0 adjacency (reverse-flush input) ----
+    # Caller-owned like the scan cache: valid when nothing mutated the
+    # graph since the previous append wrote it back. On a hit the flush
+    # uploads ~0 adjacency; on a miss (first append of a process, outside
+    # mutation, capacity growth) the full table goes up once.
+    rows32 = new_slots.astype(np.int32)
+    nbrs0_j = deleted_j = None
+    if scan_cache is not None:
+        from scintirete_tpu.index.device import DeviceGraph
+
+        graph_hit = (
+            scan_cache.get("graph_lineage") is getattr(store, "lineage", None)
+            and scan_cache.get("graph_version") == gv0
+            and scan_cache.get("nbrs0_j") is not None
+            and scan_cache["nbrs0_j"].shape == (npad, store.m0)
+        )
+        scan_cache["graph_hit_last"] = bool(graph_hit)  # diagnostic
+        with _phase("append_adj_cache"):
+            if graph_hit:
+                nbrs0_j = scan_cache["nbrs0_j"]
+                # new slots were pad rows (deleted=True) in the cached mask
+                deleted_j = DeviceGraph._scatter_into(
+                    scan_cache["deleted_j"], rows32,
+                    np.zeros(len(rows32), np.bool_),
+                )
+            else:
+                adj_pad = np.full((npad, store.m0), -1, np.int32)
+                adj_pad[:count] = store.neighbors0[:count]
+                nbrs0_j = jnp.asarray(adj_pad)
+                dl = np.ones(npad, np.bool_)
+                dl[:count] = store.deleted[:count]
+                deleted_j = jnp.asarray(dl)
+            # consumed below; re-published (with the post-append version)
+            # only after the flush writes back
+            scan_cache.pop("nbrs0_j", None)
+            scan_cache.pop("deleted_j", None)
+            scan_cache.pop("graph_version", None)
     max_tiles = npad // LANES
 
     grid_g = 1
@@ -1058,12 +1241,101 @@ def append_batch(
             (layer, t_slots.astype(np.int64), inc_i, inc_d)
         )
 
+    def _flush_resident(segs, max_deg, heuristic):
+        """Layer-0 reverse-reprune through the device-resident adjacency.
+
+        Targets are bucketed by incoming width: rows with <= _W_INC_SMALL
+        incoming edges (the vast majority — mean incoming is ~1.3 at a
+        4096-append) upload a narrow [_RPBLOCK, 8] id block, the rest the
+        full [_RPBLOCK, m0]. Incoming lists are front-packed nearest-first
+        (append_reverse0), so the narrow slice loses nothing for rows
+        under the cutoff. Two fixed program shapes per degree rule."""
+        nonlocal nbrs0_j
+        from scintirete_tpu.index.device import (
+            _fetch_packed_idx, _scatter_rows,
+        )
+
+        t_all = np.concatenate([s[1] for s in segs]).astype(np.int32)
+        inc_all = np.concatenate([s[2] for s in segs])
+        counts = (inc_all >= 0).sum(axis=1)
+        total = len(t_all)
+        out_i = np.full((total, max_deg), -1, np.int32)
+        small = counts <= _W_INC_SMALL
+        flight = []  # (orig_idx, si_dev)
+        updates = []  # (rows_dev, si_dev) — applied AFTER all chains issue
+        nbrs0_pre = nbrs0_j  # every chain reads the pre-flush table, like
+        # the host path's single up-front `table[rows]` read
+        for idx, W in (
+            (np.nonzero(small)[0], min(_W_INC_SMALL, max_deg)),
+            (np.nonzero(~small)[0], max_deg),
+        ):
+            if len(idx) == 0:
+                continue
+            t_sub = t_all[idx]
+            inc_sub = inc_all[idx, :W]
+            for ts in range(0, len(idx), _RPBLOCK):
+                te = min(ts + _RPBLOCK, len(idx))
+                # pad rows point one past the table: gathers clamp to a
+                # row whose result is dropped on host, and the writeback
+                # scatter drops out-of-bounds indices
+                tpad = np.full(_RPBLOCK, npad, np.int32)
+                tpad[: te - ts] = t_sub[ts:te]
+                ipad = np.full((_RPBLOCK, W), -1, np.int32)
+                ipad[: te - ts] = inc_sub[ts:te]
+                rows_j = jnp.asarray(tpad)
+                si = K["reprune_resident"](
+                    base_j, base_sq, nbrs0_pre, deleted_j, rows_j,
+                    jnp.asarray(ipad),
+                    metric=metric, max_deg=max_deg, heuristic=heuristic,
+                )
+                flight.append((idx[ts:te], si))
+                updates.append((rows_j, si))
+        # keep the device table current for the NEXT append's flush (all
+        # chains above captured nbrs0_pre, so these scatters can't race
+        # them; XLA orders the buffer reuse)
+        for rows_j, si in updates:
+            nbrs0_j = _scatter_rows(nbrs0_j, rows_j, si)
+        # indices-only packed fetch, fixed arities like _drain_flight
+        GROUP = 64
+        for g0 in range(0, len(flight), GROUP):
+            group = flight[g0 : g0 + GROUP]
+            arity = GROUP
+            for a in (4, 16, GROUP):
+                if len(group) <= a:
+                    arity = a
+                    break
+            padded = group + [group[0]] * (arity - len(group))
+            i_host = _fetch_packed_idx([si for _, si in padded])
+            row = 0
+            for idx, _si in group:
+                out_i[idx] = i_host[row : row + len(idx)]
+                row += _RPBLOCK
+        off = 0
+        for layer, t_slots, _ii, _dd in segs:
+            table, row_of = store.adjacency(layer)
+            rows = t_slots if row_of is None else row_of[t_slots]
+            table[rows] = out_i[off : off + len(rows)]
+            store.mark_rows_bulk(layer, rows)
+            off += len(rows)
+
     def reprune_flush():
         """Run every staged reprune as _RPBLOCK-padded device chains
         (ONE program set per degree rule regardless of append size or
         layer count), fetch all selections with one packed transfer per
-        degree width, and write the adjacency tables back."""
+        degree width, and write the adjacency tables back.
+
+        Layer 0 — the bulk of the targets (~100k rows per 4096-append at
+        1M vs ~3k upper-layer rows) — goes through the RESIDENT kernel
+        when the caller keeps a scan cache: current adjacency is gathered
+        on device and incoming distances recomputed on the MXU, so the
+        upload is ids-only and the fetch indices-only (~70 MB/batch ->
+        ~17 MB, the round-3 append wall). Upper layers keep the host-fed
+        chain (their adjacency lives in per-layer tables, not worth a
+        second device mirror)."""
         for (max_deg, heuristic), segs in rp_staged.items():
+            if nbrs0_j is not None and all(s[0] == 0 for s in segs):
+                _flush_resident(segs, max_deg, heuristic)
+                continue
             rows_per_seg, curs = [], []
             for layer, t_slots, _ii, _dd in segs:
                 table, row_of = store.adjacency(layer)
@@ -1127,6 +1399,13 @@ def append_batch(
         fwd_i, fwd_d = select_new(ci, cd, store.m0, heuristic0)
     store.neighbors0[new_slots] = fwd_i
     store.mark_rows_bulk(0, new_slots)
+    if nbrs0_j is not None:
+        from scintirete_tpu.index.device import DeviceGraph
+
+        # mirror the forward rows so the flush's device gathers see the
+        # same adjacency the host-path flush read (its `cur` included the
+        # batch's own forward rows)
+        nbrs0_j = DeviceGraph._scatter_into(nbrs0_j, rows32, fwd_i)
 
     with _phase("append_reverse0"):
         # reverse edges: new -> target, capped at the nearest m0 per
@@ -1335,6 +1614,15 @@ def append_batch(
         store.max_layer = max_new_level
         store.entry_slot = int(top)
     store.version += 1
+    if scan_cache is not None and nbrs0_j is not None:
+        # publish the post-flush adjacency mirror; the version key makes
+        # any outside mutation (delete, set_neighbors) a miss next time
+        scan_cache.update(
+            graph_lineage=getattr(store, "lineage", None),
+            graph_version=store.version,
+            nbrs0_j=nbrs0_j,
+            deleted_j=deleted_j,
+        )
     _dump_profile("append")
     store.linked_count = max(store.linked_count, store.count)
     return [int(s) for s in slots]

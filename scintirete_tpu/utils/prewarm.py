@@ -65,6 +65,7 @@ def build_manifest(
     metric: int,
     m: int = 16,
     heuristic: bool = True,
+    refine: bool = False,
 ) -> list:
     """Zero-arg callables covering every device program of a bulk build at
     this scale (shape/lineage-keyed: values are dummy zeros)."""
@@ -161,6 +162,21 @@ def build_manifest(
             for g in grids[1:]:
                 jobs.append(lambda g=g: done(scan(g)))
             first = False
+    if refine:
+        # one fused program per refinement round's forward tile; its
+        # merge/select pieces inline under the chain jit, and the
+        # incoming-merge pass reuses the chain()'s programs above
+        def refine_job():
+            adj_j = jnp.asarray(np.full((npad, m0), -1, np.int32))
+            done(
+                K["refine_chain"](
+                    base, base_sq, adj_j, np.int32(0), metric=metric,
+                    max_deg=m0, fanout=kb._REFINE_FANOUT,
+                    heuristic=heuristic, cpool=c,
+                )
+            )
+
+        jobs.append(refine_job)
     return jobs
 
 
@@ -284,11 +300,39 @@ def append_manifest(
         for arity in (4, 16, 64):
             _fetch_packed([sd] * arity, [si] * arity)
 
-    # layer-0 rule and upper-layer rule (upper selection always heuristic)
+    def resident_job(h):
+        """Layer-0 resident reverse-flush: both incoming-width buckets,
+        the idx-only packed fetch, and the writeback/mirror scatters
+        (knn_build._flush_resident)."""
+        from scintirete_tpu.index.device import (
+            _fetch_packed_idx, _scatter_rows,
+        )
+
+        nbrs = jnp.full((npad, m0), -1, jnp.int32)
+        dl = jnp.ones((npad,), jnp.bool_)
+        t = upload((T,), np.int32)
+        si = None
+        for W in sorted({min(kb._W_INC_SMALL, m0), m0}):
+            si = done(
+                K["reprune_resident"](
+                    base, base_sq, nbrs, dl, t,
+                    upload((T, W), np.int32, -1),
+                    metric=metric, max_deg=m0, heuristic=h,
+                )
+            )
+        for arity in (4, 16, 64):
+            _fetch_packed_idx([si] * arity)
+        done(_scatter_rows(nbrs, t, si))
+
+    # layer-0 rule and upper-layer rule (upper selection always heuristic).
+    # The host-fed chain now serves only the upper layers — HNSWIndex
+    # always passes a scan cache, so layer 0 goes resident; warming the
+    # (m0, h) host chain would be a dead program load
     jobs = [scan_job]
     for deg, h in sorted({(m0, heuristic), (m, True)}):
         jobs.append(lambda deg=deg, h=h: select_job(deg, h))
-        jobs.append(lambda deg=deg, h=h: reprune_job(deg, h))
+    jobs.append(lambda: reprune_job(m, True))
+    jobs.append(lambda: resident_job(heuristic))
     return jobs
 
 
@@ -324,7 +368,11 @@ def warm_build(
     m: int = 16,
     heuristic: bool = True,
     threads: int = 8,
+    refine: bool = False,
 ) -> float:
     """Load every bulk-build program for (n, dim, metric, m) up front."""
-    return warm(build_manifest(n, dim, metric, m=m, heuristic=heuristic),
-                threads=threads)
+    return warm(
+        build_manifest(n, dim, metric, m=m, heuristic=heuristic,
+                       refine=refine),
+        threads=threads,
+    )

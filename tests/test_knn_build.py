@@ -505,3 +505,148 @@ def test_batched_append_keeps_device_mirror(rng):
     graph._full_upload = orig_full
     # appended vectors are searchable through the device path
     assert res[0][0][0] == n1 + n2 + 1
+
+
+def test_refine_layer0_improves_knn_overlap(rng):
+    """NN-descent refinement (HNSWParams.refine_rounds) lifts the device
+    layer-0 adjacency toward true kNN and preserves the invariants:
+    degree bound, no self edges, valid members only."""
+    from scintirete_tpu.index import knn_build as kb
+
+    n, dim, m0 = 2048, 32, 16
+    centers = rng.standard_normal((40, dim)).astype(np.float32) * 2.0
+    a = rng.integers(0, 40, n)
+    base = (centers[a] + 0.4 * rng.standard_normal((n, dim))).astype(
+        np.float32
+    )
+    # true kNN@5 (cosine)
+    bn = base / np.linalg.norm(base, axis=1, keepdims=True)
+    d = 1.0 - bn @ bn.T
+    np.fill_diagonal(d, np.inf)
+    true5 = np.argsort(d, axis=1)[:, :5]
+
+    def overlap(adj):
+        hits = 0
+        for i in range(n):
+            hits += len(
+                set(adj[i][adj[i] >= 0].tolist()) & set(true5[i].tolist())
+            )
+        return hits / (n * 5)
+
+    ctx = kb._make_build_ctx(base, 2)  # cosine
+    adj = kb._layer_adj(ctx, n, m0, True)
+    before = overlap(adj)
+    refined = kb._refine_layer0(ctx, adj, n, m0, True, rounds=1)
+
+    assert refined.shape == (n, m0)
+    rows = np.arange(n)[:, None]
+    assert not np.any(refined == rows)  # no self edges
+    assert refined.max() < n and refined.min() >= -1
+    after = overlap(refined)
+    assert after > before  # strictly better on this clustered workload
+    assert after >= 0.97
+
+
+def test_build_honors_refine_rounds(rng, monkeypatch):
+    """HNSWParams.refine_rounds routes the bulk build through the
+    refinement pass (observed via the phase hook), and the refined graph
+    still searches correctly."""
+    from scintirete_tpu.index import knn_build as kb
+    from scintirete_tpu.index.hnsw import HNSWIndex
+
+    calls = []
+    orig = kb._refine_layer0
+
+    def spy(ctx, adj, nm, max_deg, heuristic, rounds):
+        calls.append((nm, max_deg, rounds))
+        return orig(ctx, adj, nm, max_deg, heuristic, rounds)
+
+    monkeypatch.setattr(kb, "_refine_layer0", spy)
+    n, dim = 2100, 24
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    idx = HNSWIndex(
+        dim=dim,
+        params=HNSWParams(
+            m=8, ef_construction=50, seed=7, neighbor_heuristic=True,
+            refine_rounds=1,
+        ),
+        metric=DistanceMetric.L2,
+        use_device=True,  # the kNN constructor is the device-build path
+    )
+    idx.bulk_insert(list(range(1, n + 1)), base)
+    assert calls == [(n, 16, 1)]  # layer 0 only, m0 = 2m
+    res = idx.search_batch(base[:8], SearchParams(top_k=3, ef_search=40))
+    assert all(r[0][0] == i + 1 for i, r in enumerate(res))
+
+
+def test_resident_flush_matches_host_path(rng):
+    """The device-resident reverse-flush (adjacency gathered on device,
+    incoming distances recomputed on the MXU) produces the same graph as
+    the host-fed chain up to distance-tie reordering: identical forward
+    rows, near-identical reverse-repruned rows, same invariants."""
+    from scintirete_tpu.index import knn_build as kb
+    from scintirete_tpu.index.store import GraphStore
+
+    n1, n2, dim = 2500, 2048, 24
+    base = rng.standard_normal((n1 + n2, dim)).astype(np.float32)
+    params = HNSWParams(m=8, ef_construction=50, seed=11,
+                        neighbor_heuristic=True)
+
+    def run(cache):
+        s = GraphStore(dim, params, DistanceMetric.L2)
+        kb.build(s, base[:n1], scan_cache=cache)
+        kb.append_batch(s, base[n1:], scan_cache=cache)
+        return s
+
+    s_host = run(None)  # cache-less: host-fed reprune chain
+    s_res = run({})  # cached: resident flush
+    assert s_host.count == s_res.count
+    a, b = s_host.neighbors0[: s_host.count], s_res.neighbors0[: s_res.count]
+    rows = np.arange(s_res.count)[:, None]
+    assert not np.any(b == rows)  # no self edges
+    assert b.max() < s_res.count
+    # identical up to ties: per-row neighbor-set overlap is ~1.0
+    inter = sum(
+        len(set(a[i][a[i] >= 0]) & set(b[i][b[i] >= 0]))
+        / max(1, (a[i] >= 0).sum())
+        for i in range(s_host.count)
+    ) / s_host.count
+    assert inter > 0.995
+
+
+def test_resident_cache_hits_and_invalidates(rng):
+    """Second consecutive append reuses the device-resident adjacency
+    (graph_hit); a delete between appends forces a full re-establishment;
+    both stay searchable with full self-recall."""
+    from scintirete_tpu.index.hnsw import HNSWIndex
+
+    n1, n2, dim = 2500, 2048, 24
+    rngv = rng.standard_normal((n1 + 3 * n2, dim)).astype(np.float32)
+    idx = HNSWIndex(
+        dim=dim,
+        params=HNSWParams(m=8, ef_construction=50, seed=5,
+                          neighbor_heuristic=True),
+        metric=DistanceMetric.L2,
+        use_device=True,
+    )
+    idx.bulk_insert(list(range(1, n1 + 1)), rngv[:n1])
+    cache = idx._append_scan_cache
+    idx.bulk_insert(
+        list(range(n1 + 1, n1 + n2 + 1)), rngv[n1 : n1 + n2]
+    )
+    assert cache.get("nbrs0_j") is not None
+    idx.bulk_insert(
+        list(range(n1 + n2 + 1, n1 + 2 * n2 + 1)),
+        rngv[n1 + n2 : n1 + 2 * n2],
+    )
+    assert cache["graph_hit_last"] is True  # consecutive appends hit
+    idx.delete(7)  # outside mutation bumps store.version
+    start = n1 + 2 * n2
+    ids3 = list(range(start + 1, start + n2 + 1))
+    idx.bulk_insert(ids3, rngv[start : start + n2])
+    assert cache["graph_hit_last"] is False  # invalidated by the delete
+    res = idx.search_batch(
+        rngv[start : start + 64], SearchParams(top_k=1, ef_search=60)
+    )
+    ok = sum(1 for i, r in enumerate(res) if r and r[0][0] == ids3[i])
+    assert ok >= 62
