@@ -649,6 +649,38 @@ def build_cat_tables(store: GraphStore):
     return cat, rows, offsets
 
 
+def pivot_sample_host(store: GraphStore) -> dict[str, Any]:
+    """Entry pivots: a strided sample of PUBLISHED slots — the linked
+    watermark, not the allocation count. The chunked build allocates a
+    chunk's slots before their links apply; an unlinked pivot would become
+    a dead-end entry (no out-edges -> single bogus result).
+
+    Host-side numpy (shared by the single-chip mirror's _pivot_arrays and
+    the sharded stacked parts, parallel/sharded.py). Returns
+    pivots [R] i32, pivot_vecs [R, D] f32, pivot_sq [R] f32, n_pub int."""
+    n_pub = max(store.linked_count, 1)
+    vecs = store.vectors
+    R = max(64, min(1 << int(np.ceil(np.log2(n_pub / 16 + 1))), 16384))
+    stride = max(n_pub // R, 1)
+    pivots = np.arange(0, n_pub, stride, dtype=np.int32)[:R]
+    if len(pivots) < R:
+        pivots = np.pad(pivots, (0, R - len(pivots)), mode="edge")
+    pvecs = vecs[pivots].astype(np.float32)
+    if int(store.metric) == int(DistanceMetric.COSINE):
+        # pre-normalized pivots: comparison-form cosine is then 1 - dot
+        # (the Pallas fused scan relies on this; the XLA path's
+        # norm-based formula is unchanged — pivot_sq becomes 1 for
+        # non-zero pivots, 0 for zero pivots which keep distance 1)
+        norms = np.linalg.norm(pvecs, axis=1, keepdims=True)
+        pvecs = np.where(norms > 1e-30, pvecs / np.maximum(norms, 1e-30), 0.0)
+    return {
+        "pivots": pivots,
+        "pivot_vecs": pvecs,
+        "pivot_sq": np.sum(pvecs * pvecs, axis=1),
+        "n_pub": n_pub,
+    }
+
+
 # ---------------------------------------------------------------------------
 # device mirror
 # ---------------------------------------------------------------------------
@@ -710,32 +742,9 @@ class DeviceGraph:
         return cat, rows
 
     def _pivot_arrays(self, store: GraphStore) -> dict[str, Any]:
-        # entry pivots: a strided sample of PUBLISHED slots — the linked
-        # watermark, not the allocation count. The chunked build allocates
-        # a chunk's slots before their links apply; an unlinked pivot would
-        # become a dead-end entry (no out-edges -> single bogus result)
-        n_pub = max(store.linked_count, 1)
-        vecs = store.vectors
-        R = max(64, min(1 << int(np.ceil(np.log2(n_pub / 16 + 1))),
-                        16384))
-        stride = max(n_pub // R, 1)
-        pivots = np.arange(0, n_pub, stride, dtype=np.int32)[:R]
-        if len(pivots) < R:
-            pivots = np.pad(pivots, (0, R - len(pivots)), mode="edge")
-        pvecs = vecs[pivots].astype(np.float32)
-        if int(store.metric) == int(DistanceMetric.COSINE):
-            # pre-normalized pivots: comparison-form cosine is then 1 - dot
-            # (the Pallas fused scan relies on this; the XLA path's
-            # norm-based formula is unchanged — pivot_sq becomes 1 for
-            # non-zero pivots, 0 for zero pivots which keep distance 1)
-            norms = np.linalg.norm(pvecs, axis=1, keepdims=True)
-            pvecs = np.where(norms > 1e-30, pvecs / np.maximum(norms, 1e-30), 0.0)
-        self._pivot_count = n_pub
-        return {
-            "pivots": jnp.asarray(pivots),
-            "pivot_vecs": jnp.asarray(pvecs),
-            "pivot_sq": jnp.asarray(np.sum(pvecs * pvecs, axis=1)),
-        }
+        host = pivot_sample_host(store)
+        self._pivot_count = host.pop("n_pub")
+        return {k: jnp.asarray(v) for k, v in host.items()}
 
     def _full_upload(self, store: GraphStore) -> None:
         vecs = store.vectors

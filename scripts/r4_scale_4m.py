@@ -55,11 +55,23 @@ from scintirete_tpu.types import (  # noqa: E402
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
 DIM, K, NQ = 128, 10, 4096
 PASSES = 5
-OUT = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
-                   "curve_4m.json" if N == 4_000_000 else f"curve_{N}.json")
+REFINE = os.environ.get("SCNT_BUILD_REFINE")
+# R4_SECTIONS=hnsw,append reruns just the graph half (flat numbers for the
+# same N/workload/seed are already committed); default runs everything.
+SECTIONS = set(
+    s for s in os.environ.get("R4_SECTIONS", "").split(",") if s
+)
+_suffix = f"_refine{REFINE}" if REFINE else ""
+OUT = os.path.join(
+    os.path.dirname(__file__), "..", "benchmarks",
+    (f"curve_4m{_suffix}.json" if N == 4_000_000
+     else f"curve_{N}{_suffix}.json"),
+)
 
 result: dict = {"n": N, "dim": DIM, "workload": "clustered_v2",
                 "started": time.strftime("%Y-%m-%dT%H:%M:%S")}
+if REFINE:
+    result["refine_rounds"] = int(REFINE)
 
 
 def flush():
@@ -68,7 +80,10 @@ def flush():
         f.write("\n")
 
 
-def guard(name, fn):
+def guard(name, fn, *, tags=()):
+    if SECTIONS and not (SECTIONS & set(tags)):
+        print(f"\n=== {name} === SKIPPED (R4_SECTIONS)", flush=True)
+        return
     print(f"\n=== {name} === ({time.strftime('%H:%M:%S')})", flush=True)
     try:
         fn()
@@ -257,34 +272,37 @@ def s7_append():
     result["append_trials"] = trials
 
 
+ALL = ("hnsw", "flat", "append")
 if N < 6_000_000:
-    guard("0. prewarm", s0_prewarm)
-    guard("1. hnsw build", s1_build_hnsw)
-    guard("2. flat build", s2_build_flat)
-    guard("3. ground truth", s3_ground_truth)
-    guard("4. hnsw ef sweep", s4_hnsw_sweep)
-    guard("5. flat serving", s5_flat_serving)
-    guard("6. latency", s6_latency)
-    guard("7. append", s7_append)
+    guard("0. prewarm", s0_prewarm, tags=ALL)
+    guard("1. hnsw build", s1_build_hnsw, tags=("hnsw", "append"))
+    guard("2. flat build", s2_build_flat, tags=("flat",))
+    guard("3. ground truth", s3_ground_truth, tags=("hnsw", "flat"))
+    guard("4. hnsw ef sweep", s4_hnsw_sweep, tags=("hnsw",))
+    guard("5. flat serving", s5_flat_serving, tags=("flat",))
+    guard("6. latency", s6_latency, tags=("hnsw", "flat"))
+    guard("7. append", s7_append, tags=("append",))
 else:
     # HBM-safe order at 8M: flat (f32+int8 ~5 GB) and HNSW (~7 GB) don't
     # fit together with the ground-truth upload on one 16 GB chip, so the
     # flat half runs first and is freed before the graph is built.
-    guard("0. prewarm", s0_prewarm)
-    guard("2. flat build", s2_build_flat)
-    guard("3. ground truth", s3_ground_truth)
-    guard("5. flat serving", s5_flat_serving)
-    guard("6a. flat latency", lambda: s6_latency(("flat",)))
-    print("freeing flat device state before the graph build", flush=True)
-    flat._dev = {}  # drop device corpus buffers
-    flat._dev_version = -1
-    import gc
+    guard("0. prewarm", s0_prewarm, tags=ALL)
+    guard("2. flat build", s2_build_flat, tags=("flat",))
+    guard("3. ground truth", s3_ground_truth, tags=("hnsw", "flat"))
+    guard("5. flat serving", s5_flat_serving, tags=("flat",))
+    guard("6a. flat latency", lambda: s6_latency(("flat",)), tags=("flat",))
+    if not SECTIONS or "flat" in SECTIONS:
+        print("freeing flat device state before the graph build", flush=True)
+        flat._dev = {}  # drop device corpus buffers
+        flat._dev_version = -1
+        import gc
 
-    gc.collect()
-    guard("1. hnsw build", s1_build_hnsw)
-    guard("4. hnsw ef sweep", s4_hnsw_sweep)
-    guard("6b. hnsw latency", lambda: s6_latency(("hnsw",)))
-    guard("7. append", s7_append)
+        gc.collect()
+    guard("1. hnsw build", s1_build_hnsw, tags=("hnsw", "append"))
+    guard("4. hnsw ef sweep", s4_hnsw_sweep, tags=("hnsw",))
+    guard("6b. hnsw latency", lambda: s6_latency(("hnsw",)),
+          tags=("hnsw",))
+    guard("7. append", s7_append, tags=("append",))
 
 result["finished"] = time.strftime("%Y-%m-%dT%H:%M:%S")
 if "hnsw_qps" in result and "flat_qps" in result:
