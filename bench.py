@@ -258,6 +258,48 @@ def run_scale(n, rng):
     t0 = time.time()
     outs = flat.search_batch_pipelined([queries] * n_passes, params, depth=3)
     elapsed = (time.time() - t0) / n_passes
+    # device-only kernel rate (VERDICT r3 item 5): time the fused scan with
+    # device-RESIDENT queries so kernel efficiency and the tunnel tax are
+    # separately visible (end-to-end TOPS below conflates them)
+    try:
+        import jax
+
+        dev = flat._dev
+        if "scan" in dev:  # int8 first-pass path (capacity > 256k)
+            from scintirete_tpu.ops.flat_scan import flat_topk_fused
+
+            qn = queries / np.maximum(
+                np.linalg.norm(queries, axis=1, keepdims=True), 1e-30
+            )
+            qj = jnp.asarray(qn)
+
+            def _pass():
+                # same program shape as the serving path: tps=4 (the
+                # SCNT_SCAN_TPS the bench serves with), width=4k
+                return flat_topk_fused(
+                    qj, dev["scan"], dev["vectors"], dev["valid"],
+                    int(DistanceMetric.COSINE), K, dev["scan_sq"],
+                    width=max(4 * K, 64), base_scale=dev["scan_scale"],
+                    tps=4,
+                )
+
+            jax.block_until_ready(_pass())  # warm
+            ts = []
+            for _ in range(4):
+                t0 = time.time()
+                jax.block_until_ready(_pass())
+                ts.append(time.time() - t0)
+            dt = min(ts)
+            out["flat_device_only_qps"] = round(len(queries) / dt, 1)
+            out["flat_device_only_tops"] = round(
+                len(queries) / dt * n * DIM * 2 / 1e12, 2
+            )
+            log(
+                f"n={n}: device-only fused scan {len(queries) / dt:.0f} QPS "
+                f"({out['flat_device_only_tops']} TOPS)"
+            )
+    except Exception as e:  # metric is advisory; never fail the bench
+        log(f"n={n}: device-only timing skipped: {e}")
     for k_, v_ in saved_env.items():
         os.environ.pop(k_, None) if v_ is None else os.environ.update({k_: v_})
     fresults = outs[-1]

@@ -660,7 +660,12 @@ def pivot_sample_host(store: GraphStore) -> dict[str, Any]:
     pivots [R] i32, pivot_vecs [R, D] f32, pivot_sq [R] f32, n_pub int."""
     n_pub = max(store.linked_count, 1)
     vecs = store.vectors
-    R = max(64, min(1 << int(np.ceil(np.log2(n_pub / 16 + 1))), 16384))
+    # R caps the entry-matmul cost; above the cap each pivot covers
+    # n_pub/R points and the layer-0 beam must walk the rest. At the
+    # default cap that coverage is 61 points/pivot at 1M but 488 at 8M —
+    # SCNT_PIVOT_CAP lifts it for large-N serving (scripts/r4_entry_modes)
+    cap = int(os.environ.get("SCNT_PIVOT_CAP", 16384))
+    R = max(64, min(1 << int(np.ceil(np.log2(n_pub / 16 + 1))), cap))
     stride = max(n_pub // R, 1)
     pivots = np.arange(0, n_pub, stride, dtype=np.int32)[:R]
     if len(pivots) < R:
@@ -890,9 +895,13 @@ class DeviceIndex:
         self.sync(store)
         B = queries.shape[0]
         ef = max(ef, k)
+        env_entry = os.environ.get("SCNT_SEARCH_ENTRY")
+        if env_entry in ("pivot", "descent"):
+            entry_mode = env_entry
         if max_steps is None:
+            env_steps = os.environ.get("SCNT_SEARCH_MAXSTEPS")
             # generous bound; convergence normally stops the loop much earlier
-            max_steps = ef + 64
+            max_steps = int(env_steps) if env_steps else ef + 64
         a = self.graph.arrays
         entry, entry_level = self._entry_info(store)
         # dispatch every sub-batch first (jax dispatch is async), then
