@@ -660,11 +660,16 @@ def pivot_sample_host(store: GraphStore) -> dict[str, Any]:
     pivots [R] i32, pivot_vecs [R, D] f32, pivot_sq [R] f32, n_pub int."""
     n_pub = max(store.linked_count, 1)
     vecs = store.vectors
-    # R caps the entry-matmul cost; above the cap each pivot covers
-    # n_pub/R points and the layer-0 beam must walk the rest. At the
-    # default cap that coverage is 61 points/pivot at 1M but 488 at 8M —
-    # SCNT_PIVOT_CAP lifts it for large-N serving (scripts/r4_entry_modes)
-    cap = int(os.environ.get("SCNT_PIVOT_CAP", 16384))
+    # R targets ~16 points/pivot (pow2): the entry matmul costs ~1/16 of
+    # a flat scan per dispatch, and the beam starts inside (or next to)
+    # the query's own neighborhood. The round-3 cap of 16,384 silently
+    # degraded coverage past 1M (488 points/pivot at 8M) and was the
+    # large-N recall collapse: recall@10 at ef=12 fell 0.991 -> 0.938 ->
+    # 0.862 (1M/4M/8M); re-measured at 4M with R=65536 it is 0.9894 at
+    # HIGHER QPS (25.0k vs 23.9k — nearer entries mean shorter walks).
+    # benchmarks/entry_modes_4000000.json. The cap now only bounds HBM
+    # (262144 x 128 f32 pivots = 134 MB) and stays env-overridable.
+    cap = int(os.environ.get("SCNT_PIVOT_CAP", 262144))
     R = max(64, min(1 << int(np.ceil(np.log2(n_pub / 16 + 1))), cap))
     stride = max(n_pub // R, 1)
     pivots = np.arange(0, n_pub, stride, dtype=np.int32)[:R]

@@ -186,6 +186,7 @@ def append_manifest(
     metric: int,
     m: int = 16,
     heuristic: bool = True,
+    batch: int = 4096,
 ) -> list:
     """Zero-arg callables covering every device program of a batched
     APPEND onto an n-vector store (knn_build.append_batch): the masked
@@ -305,7 +306,7 @@ def append_manifest(
         the idx-only packed fetch, and the writeback/mirror scatters
         (knn_build._flush_resident)."""
         from scintirete_tpu.index.device import (
-            _fetch_packed_idx, _scatter_rows,
+            _fetch_packed_idx, _pad_pow2, _scatter_rows,
         )
 
         nbrs = jnp.full((npad, m0), -1, jnp.int32)
@@ -322,7 +323,18 @@ def append_manifest(
             )
         for arity in (4, 16, 64):
             _fetch_packed_idx([si] * arity)
-        done(_scatter_rows(nbrs, t, si))
+        nbrs = done(_scatter_rows(nbrs, t, si))  # donates its input
+        # the new rows' OWN forward adjacency scatters into the resident
+        # table at the append-batch pow2 bucket (knn_build.py ~1408, via
+        # _scatter_into) — a different program than the _RPBLOCK flush
+        nb_pad = _pad_pow2(int(batch))
+        done(
+            _scatter_rows(
+                nbrs,
+                upload((nb_pad,), np.int32),
+                upload((nb_pad, m0), np.int32, -1),
+            )
+        )
 
     # layer-0 rule and upper-layer rule (upper selection always heuristic).
     # The host-fed chain now serves only the upper layers — HNSWIndex
@@ -343,10 +355,16 @@ def warm_append(
     m: int = 16,
     heuristic: bool = True,
     threads: int = 8,
+    batch: int = 4096,
 ) -> float:
-    """Load every batched-append program for an n-vector store up front."""
-    return warm(append_manifest(n, dim, metric, m=m, heuristic=heuristic),
-                threads=threads)
+    """Load every batched-append program for an n-vector store up front.
+    `batch` = the append batch size the caller will use (its pow2 bucket
+    keys one scatter program)."""
+    return warm(
+        append_manifest(n, dim, metric, m=m, heuristic=heuristic,
+                        batch=batch),
+        threads=threads,
+    )
 
 
 def warm(jobs: list, threads: int = 8) -> float:

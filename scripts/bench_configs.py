@@ -102,7 +102,7 @@ def config_b(out, rng):
     true_i = bench.ground_truth(queries, base, int(DistanceMetric.COSINE), K)
     idx, build_s = build_hnsw(n, dim, base, DistanceMetric.COSINE)
     curve = []
-    for ef in (12, 16, 24, 48):
+    for ef in (12, 16, 24, 32, 48):
         results, qps = timed_search(
             idx, queries, SearchParams(top_k=K, ef_search=ef)
         )
@@ -110,10 +110,19 @@ def config_b(out, rng):
         curve.append({"ef": ef, "qps": round(qps, 1),
                       "recall": round(recall, 4)})
         log(f"B glove-like ef={ef}: {qps:.0f} QPS @ {recall:.4f}")
+    # the 100-d workload's knee sits BELOW the 0.95 gate at the 128-d
+    # serving ef (VERDICT r3 item 8): report the gated operating point
+    # explicitly so this can't lurk — operators serve 100-d at gated_ef
+    gated = [c for c in curve if c["recall"] >= bench.RECALL_GATE]
+    head = max(gated, key=lambda c: c["qps"]) if gated else None
     out["glove100d_like_1m"] = {
         "build_s": round(build_s, 1),
         "build_vecs_per_s": round(n / build_s, 1),
         "curve": curve,
+        "recall_gate": bench.RECALL_GATE,
+        "gated_qps": head["qps"] if head else None,
+        "gated_ef": head["ef"] if head else None,
+        "gated_recall": head["recall"] if head else None,
     }
     del idx
 

@@ -62,6 +62,8 @@ SECTIONS = set(
     s for s in os.environ.get("R4_SECTIONS", "").split(",") if s
 )
 _suffix = f"_refine{REFINE}" if REFINE else ""
+if os.environ.get("R4_TAG"):
+    _suffix += f"_{os.environ['R4_TAG']}"
 OUT = os.path.join(
     os.path.dirname(__file__), "..", "benchmarks",
     (f"curve_4m{_suffix}.json" if N == 4_000_000
@@ -70,6 +72,15 @@ OUT = os.path.join(
 
 result: dict = {"n": N, "dim": DIM, "workload": "clustered_v2",
                 "started": time.strftime("%Y-%m-%dT%H:%M:%S")}
+if SECTIONS and os.path.exists(OUT):
+    # partial rerun (R4_SECTIONS): keep the committed sections' numbers —
+    # same N/workload/seed, so merging is sound
+    with open(OUT) as f:
+        prior = json.load(f)
+    if prior.get("n") == N:
+        prior.pop("finished", None)
+        prior.pop("failed_sections", None)
+        result = {**prior, **result}
 if REFINE:
     result["refine_rounds"] = int(REFINE)
 

@@ -83,7 +83,8 @@ def test_append_compiles_nothing_after_warm():
     )
     rng = np.random.default_rng(5)
     knn_build.build(store, rng.standard_normal((n, dim)).astype(np.float32))
-    prewarm.warm_append(n, dim, metric, m=m, heuristic=True, threads=4)
+    prewarm.warm_append(n, dim, metric, m=m, heuristic=True, threads=4,
+                        batch=nb)
 
     cap = _Capture()
     loggers = [
