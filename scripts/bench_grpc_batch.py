@@ -105,7 +105,7 @@ def bench_client(args, port):
     from scintirete_tpu.server.grpc_server import GrpcClient
 
     _, queries = make_corpus(args.n)
-    client = GrpcClient(f"127.0.0.1:{port}", timeout=120)
+    client = GrpcClient(f"127.0.0.1:{port}", timeout=args.timeout)
     auth = pb.AuthInfo(password=PASSWORD)
     out = {"n": args.n, "index": args.index, "dim": DIM,
            "device": not args.cpu}
@@ -146,55 +146,65 @@ def bench_client(args, port):
             dtype="f16" if f16 else "f32",
         )
 
+    def bench_config(b, f16):
+        client.BatchSearch(batch_req(0, b, f16))  # warm
+        # sequential
+        n_iter = max(args.work // b, 4)
+        t0 = time.perf_counter()
+        for i in range(n_iter):
+            client.BatchSearch(batch_req(i, b, f16))
+        seq_qps = n_iter * b / (time.perf_counter() - t0)
+        # concurrent in-flight (a loaded server pipelines)
+        infl = args.inflight
+        errs = []
+        lock = threading.Lock()
+        cnt = [0]
+
+        def worker(w):
+            try:
+                for i in range(n_iter):
+                    client.BatchSearch(batch_req(w * n_iter + i, b, f16))
+                    with lock:
+                        cnt[0] += 1
+            except Exception as exc:  # pragma: no cover
+                errs.append(exc)
+
+        t0 = time.perf_counter()
+        threads = [
+            threading.Thread(target=worker, args=(w,))
+            for w in range(infl)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        conc_qps = cnt[0] * b / (time.perf_counter() - t0)
+        if errs:
+            raise errs[0]
+        return {"batch": b, "dtype": "f16" if f16 else "f32",
+                "seq_qps": round(seq_qps, 1),
+                f"qps_inflight{infl}": round(conc_qps, 1)}
+
     results = []
     for b in (256, 1024, 4096):
         if b > len(queries):
             continue
         for f16 in (False, True):
-            client.BatchSearch(batch_req(0, b, f16))  # warm
-            # sequential
-            n_iter = max(args.work // b, 4)
-            t0 = time.perf_counter()
-            for i in range(n_iter):
-                client.BatchSearch(batch_req(i, b, f16))
-            seq_qps = n_iter * b / (time.perf_counter() - t0)
-            # concurrent in-flight (a loaded server pipelines)
-            infl = args.inflight
-            errs = []
-            lock = threading.Lock()
-            cnt = [0]
-
-            def worker(w):
-                try:
-                    for i in range(n_iter):
-                        client.BatchSearch(batch_req(w * n_iter + i, b, f16))
-                        with lock:
-                            cnt[0] += 1
-                except Exception as exc:  # pragma: no cover
-                    errs.append(exc)
-
-            t0 = time.perf_counter()
-            threads = [
-                threading.Thread(target=worker, args=(w,))
-                for w in range(infl)
-            ]
-            for t in threads:
-                t.start()
-            for t in threads:
-                t.join()
-            conc_qps = cnt[0] * b / (time.perf_counter() - t0)
-            if errs:
-                raise errs[0]
-            row = {"batch": b, "dtype": "f16" if f16 else "f32",
-                   "seq_qps": round(seq_qps, 1),
-                   f"qps_inflight{infl}": round(conc_qps, 1)}
+            try:
+                row = bench_config(b, f16)
+            except Exception as exc:
+                # a config that can't finish inside the deadline (slow CPU
+                # smoke boxes) shouldn't void the configs that already ran
+                row = {"batch": b, "dtype": "f16" if f16 else "f32",
+                       "error": repr(exc)}
             results.append(row)
             print(row, flush=True)
-    out["batch_search"] = results
+    out["batch_search"] = [r for r in results if "error" not in r]
+    out["errors"] = [r for r in results if "error" in r]
+    ok = out["batch_search"]
     out["best_qps"] = max(
-        max(r["seq_qps"], r[f"qps_inflight{args.inflight}"])
-        for r in results
-    )
+        max(r["seq_qps"], r[f"qps_inflight{args.inflight}"]) for r in ok
+    ) if ok else 0.0
     return out
 
 
@@ -207,6 +217,8 @@ def main():
     ap.add_argument("--inflight", type=int, default=4)
     ap.add_argument("--work", type=int, default=20480,
                     help="queries per measured config (sets iteration count)")
+    ap.add_argument("--timeout", type=int, default=300,
+                    help="per-RPC client deadline (seconds)")
     ap.add_argument("--serve", action="store_true")
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--out", default=None)

@@ -361,3 +361,72 @@ class TestInfSafety:
             # bf16 ranking: allow the exact set to differ only within the
             # rerank width; top-1 must agree
             assert want[b, 0] in got
+
+    def test_int8_overflow_and_nan_scales_do_not_poison(self, rng):
+        """int8 kernel invariant (wrapper-enforced): inf squared norms,
+        inf/NaN dequant scales, and deleted rows must never produce a NaN
+        packed key (jnp.minimum would latch it for the lane) — the kernel
+        itself has NO clamp/NaN ops (see _pack_tile_ids), so this pins
+        the wrapper's boundary defense."""
+        from scintirete_tpu.index.flat import _quant8
+
+        B, D, N = 8, 16, 2 * LANES
+        q = rng.standard_normal((B, D)).astype(np.float32)
+        base = rng.standard_normal((N, D)).astype(np.float32)
+        base[5] = 2.0e19  # norm^2 -> inf in f32
+        with np.errstate(over="ignore"):
+            b_sq = np.sum(base.astype(np.float32) ** 2, axis=1)
+        assert np.isinf(b_sq[5])
+        q8, sc = _quant8(np.where(np.isfinite(base), base, 0.0))
+        sc = sc.astype(np.float32)
+        sc[7] = np.nan   # poisoned scale rows
+        sc[9] = np.inf
+        invalid = np.zeros(N, np.float32)
+        invalid[3] = 1.0  # a deleted row
+
+        d, i = flat_topk_fused(
+            jnp.asarray(q), jnp.asarray(q8), jnp.asarray(base),
+            jnp.asarray(invalid < 0.5), L2, 5, jnp.asarray(b_sq),
+            base_scale=jnp.asarray(sc), width=32, interpret=True, tps=2,
+        )
+        d, i = np.asarray(d), np.asarray(i)
+        assert np.all(np.isfinite(d))
+        assert np.all(i >= 0)
+        assert not np.any(i == 3)  # deleted row masked via bs=0/bsq=SENT
+        # rows sharing a lane with the poisoned ones must still be found
+        sane = rank_scores(q, base, b_sq, invalid, L2)
+        sane[:, [5, 7, 9]] = np.inf
+        want = np.argsort(sane, axis=1)
+        for b in range(B):
+            assert want[b, 0] in set(i[b].tolist())
+
+    @pytest.mark.parametrize("tps", [4, 8])
+    def test_int8_premin_groups_keep_recall(self, rng, tps):
+        """tps > _PREMIN folds several pre-min groups per grid step; the
+        group pre-min may only lose a candidate when two true top-k share
+        a lane AND a group — recall must stay ~exact on a small corpus."""
+        from scintirete_tpu.index.flat import _quant8
+        from scintirete_tpu.ops.distance import distance_np
+
+        B, D, N, k = 16, 24, 8 * LANES, 10
+        q = rng.standard_normal((B, D)).astype(np.float32)
+        base = rng.standard_normal((N, D)).astype(np.float32)
+        q8, sc = _quant8(base)
+        scan_sq = np.sum(base * base, axis=1).astype(np.float32)
+        d, s = flat_topk_fused(
+            jnp.asarray(q), jnp.asarray(q8), jnp.asarray(base),
+            jnp.ones(N, bool), L2, k, jnp.asarray(scan_sq),
+            base_scale=jnp.asarray(sc), interpret=True, tps=tps,
+        )
+        d, s = np.asarray(d), np.asarray(s)
+        ref = distance_np(q, base, DistanceMetric(L2)).astype(np.float32)
+        true_i = np.argsort(ref, axis=1, kind="stable")[:, :k]
+        hits = sum(
+            len(set(s[b].tolist()) & set(true_i[b].tolist()))
+            for b in range(B)
+        )
+        assert hits / (B * k) >= 0.95
+        for b in range(B):
+            np.testing.assert_allclose(
+                d[b], ref[b, s[b]], rtol=1e-5, atol=1e-6
+            )
