@@ -284,8 +284,10 @@ def _lane_scan_kernel_packed_int8(
     and clamps scales/norms so scores are finite by construction; groups
     of _PREMIN tiles pre-reduce with winner-id selects and pack ONCE per
     group. ~6 VPU ops/score vs ~15 for the mask+safe-pack+fold-per-tile
-    formulation (measured 2026-08-19: kernel-only 1M pass 2.3x faster at
-    tps=8). The pre-min loses a candidate only when two of a query's true
+    formulation (measured 2026-08-19, chained-fetch A/B at 1M on the v5e,
+    scripts/prof_scan_ab_old.py: 128 -> 184 TOPS device-only, 1.43x; 46.7%
+    of the 394-TOPS int8 peak). The pre-min loses a candidate only when
+    two of a query's true
     top-k share BOTH a lane and a tile group (expected ~1e-4 of one item
     per query at k=10) — far below the recall gate, and the exact f32
     rerank downstream is unaffected."""

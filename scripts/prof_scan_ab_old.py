@@ -93,5 +93,5 @@ def timed(label, chain):
 
 for tps in (4, 8):
     timed(f"OLD kernel tps={tps}", make_chain(old_kernel, tps))
-for tps in (4, 8):
+for tps in (4, 8, 16):
     timed(f"NEW kernel tps={tps}", make_chain(new_kernel, tps))
