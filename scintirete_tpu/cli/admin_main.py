@@ -126,6 +126,27 @@ def main(argv=None) -> int:
         "(host RAM / HBM sizing per docs/sizing.md)",
     )
 
+    imp = sub.add_parser(
+        "import-reference",
+        help="migrate a reference (Go Scintirete) deployment: read its "
+        "FlatBuffers .rdb/.aof, rebuild indexes, write OUR snapshot into "
+        "-data-dir",
+    )
+    imp.add_argument("--ref-rdb", default=None,
+                     help="reference scintirete.rdb path")
+    imp.add_argument("--ref-aof", default=None,
+                     help="reference scintirete.aof path")
+    imp.add_argument("--index-type", default="hnsw",
+                     choices=("hnsw", "flat"),
+                     help="index type for imported collections")
+
+    exp = sub.add_parser(
+        "export-reference",
+        help="write the current snapshot's state as a reference-format "
+        "FlatBuffers .rdb (migration back to the Go implementation)",
+    )
+    exp.add_argument("out", help="output .rdb path")
+
     args = parser.parse_args(argv)
 
     from scintirete_tpu.errors import ScintireteError
@@ -144,6 +165,50 @@ def main(argv=None) -> int:
             else:  # restore
                 mgr.restore_backup(args.path)
                 print(f"restored {args.path} -> {rdb.path}")
+        elif args.cmd == "import-reference":
+            if not args.ref_rdb and not args.ref_aof:
+                print("error: provide --ref-rdb and/or --ref-aof",
+                      file=sys.stderr)
+                return 1
+            from scintirete_tpu.engine import Engine
+            from scintirete_tpu.persistence import PersistenceManager
+            from scintirete_tpu.persistence import fbcompat
+
+            # offline import runs host-only: migrations shouldn't need (or
+            # compete for) the TPU; the server builds device state on load
+            engine = Engine(use_device=False)
+            pm = PersistenceManager(engine, args.data_dir,
+                                    rdb_filename=args.rdb,
+                                    aof_filename=args.aof)
+            try:
+                pm.recover()  # merge into an existing data dir if present
+                imported = fbcompat.import_reference(
+                    engine,
+                    rdb_path=args.ref_rdb,
+                    aof_path=args.ref_aof,
+                    index_type=args.index_type,
+                )
+                pm.save_snapshot()
+            finally:
+                pm.stop()
+            print(json.dumps({"imported": imported,
+                              "snapshot": pm.rdb.path}, indent=2))
+        elif args.cmd == "export-reference":
+            from scintirete_tpu.engine import Engine
+            from scintirete_tpu.persistence import PersistenceManager
+            from scintirete_tpu.persistence import fbcompat
+
+            engine = Engine(use_device=False)
+            pm = PersistenceManager(engine, args.data_dir,
+                                    rdb_filename=args.rdb,
+                                    aof_filename=args.aof)
+            try:
+                pm.recover()
+                exported = fbcompat.export_rdb(engine, args.out)
+            finally:
+                pm.stop()
+            print(json.dumps({"exported": exported, "path": args.out},
+                             indent=2))
         elif args.cmd == "memstat":
             state = rdb.load()
             if state is None:
