@@ -162,6 +162,62 @@ def _fused_greedy(
     return cur, cur_d
 
 
+def _fused_beam_descent(
+    dist_to, up_nbrs_cat, up_rows_flat, cap, deleted,
+    cur, cur_d, lvl, ef_upper, max_iters, expand,
+):
+    """Beam descent through the upper layers: searchLayer(ef_upper) per
+    layer instead of the reference's greedy ef=1 walk (hnsw.go:216-249),
+    with the whole descent fused into one while_loop (each query sits at
+    its own layer). On per-query convergence at a layer the candidate list
+    carries over as the next layer's entry set and its expansion flags
+    reset — the HNSW multi-entry handoff. The payoff at scale: the bulk
+    kNN-built upper layers misroute a SINGLE greedy walker on clustered
+    corpora (entry lands outside the query's cluster and the layer-0 beam
+    can't cross; benchmarks/results_round4.md §3), while ef_upper
+    candidate paths keep alternatives alive and hand layer 0 ef_upper
+    entries instead of one."""
+    B = cur.shape[0]
+    expand = min(expand, ef_upper)
+    cand_s = jnp.concatenate(
+        [cur[:, None], jnp.full((B, ef_upper - 1), -1, jnp.int32)], axis=1
+    )
+    cand_d = jnp.concatenate(
+        [cur_d[:, None], jnp.full((B, ef_upper - 1), _INF)], axis=1
+    )
+    expanded = jnp.zeros((B, ef_upper), bool)
+
+    def cond(st):
+        return jnp.any(st[3] > 0) & (st[4] < max_iters)
+
+    def body(st):
+        cand_s, cand_d, expanded, lvl, it = st
+        at_layer = lvl > 0
+        converged = _beam_converged(cand_s, cand_d, expanded)
+        active = at_layer & ~converged
+        flat_base = (jnp.maximum(lvl, 1) - 1) * cap
+        cand_s, cand_d, expanded = _beam_step(
+            dist_to, deleted, cand_s, cand_d, expanded,
+            rows_of_slots=lambda s: jnp.where(
+                s >= 0, up_rows_flat[flat_base[:, None] + jnp.maximum(s, 0)], -1
+            ),
+            nbr_lookup=lambda rows: up_nbrs_cat[rows],
+            active=active, expand=expand,
+        )
+        # converged-at-layer queries move down; their candidates become the
+        # next layer's entries, so expansion flags reset (a slot expanded
+        # at layer l has different neighbors at l-1)
+        step_down = at_layer & _beam_converged(cand_s, cand_d, expanded)
+        lvl = jnp.where(step_down, lvl - 1, lvl)
+        expanded = expanded & ~step_down[:, None]
+        return cand_s, cand_d, expanded, lvl, it + 1
+
+    cand_s, cand_d, _, _, _ = jax.lax.while_loop(
+        cond, body, (cand_s, cand_d, expanded, lvl, jnp.int32(0))
+    )
+    return cand_s, cand_d
+
+
 def _beam_step(
     dist_to, deleted, cand_s, cand_d, expanded, rows_of_slots, nbr_lookup,
     active, expand,
@@ -403,7 +459,7 @@ def _search_kernel_pivot_chunked(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("metric", "ef", "k", "max_steps", "expand"),
+    static_argnames=("metric", "ef", "k", "max_steps", "expand", "ef_upper"),
 )
 def _search_kernel(
     queries,  # [B, D] f32
@@ -420,6 +476,7 @@ def _search_kernel(
     k: int,
     max_steps: int,
     expand: int = SEARCH_EXPAND,
+    ef_upper: int = 1,
 ):
     B = queries.shape[0]
     cap = vectors.shape[0]
@@ -428,13 +485,21 @@ def _search_kernel(
     cur = jnp.full((B,), entry_slot, jnp.int32)
     cur_d = dist_to(cur[:, None])[:, 0]
     lvl = jnp.full((B,), entry_level, jnp.int32)
-    cur, cur_d = _fused_greedy(
-        dist_to, up_nbrs_cat, up_rows_flat, cap, deleted,
-        cur, cur_d, lvl, jnp.zeros((B,), jnp.int32), max_iters=16 * 64,
-    )
+    if ef_upper <= 1:
+        cur, cur_d = _fused_greedy(
+            dist_to, up_nbrs_cat, up_rows_flat, cap, deleted,
+            cur, cur_d, lvl, jnp.zeros((B,), jnp.int32), max_iters=16 * 64,
+        )
+        entries_s, entries_d = cur[:, None], cur_d[:, None]
+    else:
+        entries_s, entries_d = _fused_beam_descent(
+            dist_to, up_nbrs_cat, up_rows_flat, cap, deleted,
+            cur, cur_d, lvl, ef_upper=ef_upper, max_iters=16 * 64,
+            expand=expand,
+        )
 
     cand_s, cand_d, steps = _ef_beam_layer0(
-        dist_to, neighbors0, deleted, cur[:, None], cur_d[:, None], ef,
+        dist_to, neighbors0, deleted, entries_s, entries_d, ef,
         max_steps, expand=expand,
     )
     out_d = _finalize(cand_d[:, :k], metric)
@@ -903,6 +968,10 @@ class DeviceIndex:
         env_entry = os.environ.get("SCNT_SEARCH_ENTRY")
         if env_entry in ("pivot", "descent"):
             entry_mode = env_entry
+        # descent entry-beam width (1 = reference greedy walk; >1 = beam
+        # descent, the scale-recall fix for bulk-built upper layers —
+        # results_round4.md §3). Pivot mode ignores it.
+        ef_upper = max(int(os.environ.get("SCNT_SEARCH_EF_UPPER", "1")), 1)
         if max_steps is None:
             env_steps = os.environ.get("SCNT_SEARCH_MAXSTEPS")
             # generous bound; convergence normally stops the loop much earlier
@@ -1004,6 +1073,7 @@ class DeviceIndex:
                     k=k,
                     max_steps=max_steps,
                     expand=expand,
+                    ef_upper=ef_upper,
                 )
             in_flight.append((start, n, d.shape[0], d, s))
         # pack NOW so the concat program sits right behind the kernels in

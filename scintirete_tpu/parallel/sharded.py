@@ -265,15 +265,17 @@ def _merge_shards_packed(d, s, cap, k):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("metric", "ef", "k", "max_steps", "mesh")
+    jax.jit,
+    static_argnames=("metric", "ef", "k", "max_steps", "ef_upper", "mesh"),
 )
 def _fused_sharded_search(
     q, vectors, sq_norms, deleted, neighbors0, up_nbrs_cat, up_rows_flat,
     entry, entry_level,
-    metric: int, ef: int, k: int, max_steps: int, mesh: Mesh,
+    metric: int, ef: int, k: int, max_steps: int, ef_upper: int, mesh: Mesh,
 ):
     """One program: per-shard HNSW beam search (reference-style greedy
-    descent entry) + all_gather merge over ICI. Returns packed int32
+    descent entry; ef_upper>1 = beam descent, device.py
+    _fused_beam_descent) + all_gather merge over ICI. Returns packed int32
     [B, 2k] (see _pack_local)."""
 
     def local(q, vectors, sq_norms, deleted, neighbors0, up_cat, up_rows,
@@ -284,6 +286,7 @@ def _fused_sharded_search(
             q, vectors[0], sq_norms[0], deleted[0], neighbors0[0],
             up_cat[0], up_rows[0], entry[0], entry_level[0],
             metric=metric, ef=ef, k=k, max_steps=max_steps,
+            ef_upper=ef_upper,
         )
         return _merge_shards_packed(d, s, vectors.shape[1], k)
 
@@ -783,7 +786,11 @@ class ShardedHNSWIndex:
                     a["neighbors0"], a["up_nbrs_cat"], a["up_rows_flat"],
                     a["entry"], a["entry_level"],
                     metric=int(self.metric), ef=ef_pad, k=k_pad,
-                    max_steps=ef_pad + 64, mesh=self.mesh,
+                    max_steps=ef_pad + 64,
+                    ef_upper=max(
+                        int(os.environ.get("SCNT_SEARCH_EF_UPPER", "1")), 1
+                    ),
+                    mesh=self.mesh,
                 )
             cap = a["vectors"].shape[1]
             return (B, k, cap, self._slot_ids, packed)

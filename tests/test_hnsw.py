@@ -383,6 +383,50 @@ class TestPivotEntry:
         )
         assert overlap / (16 * k) >= 0.9
 
+    def test_beam_descent_validity_and_no_regression(self, rng, monkeypatch):
+        """SCNT_SEARCH_EF_UPPER>1 runs searchLayer(ef_upper) through the
+        upper layers instead of the reference's greedy ef=1 walk — the
+        scale-recall fix for bulk-built upper layers
+        (benchmarks/results_round4.md §3). On any corpus it must produce
+        valid results and never fewer ground-truth hits than greedy."""
+        n_clusters, per, dim, k = 120, 25, 16, 10
+        n = n_clusters * per
+        centers = rng.standard_normal((n_clusters, dim)).astype(np.float32) * 8
+        vecs = centers.repeat(per, axis=0) + 0.3 * rng.standard_normal(
+            (n, dim)
+        ).astype(np.float32)
+        idx = HNSWIndex(
+            dim=dim,
+            params=HNSWParams(m=8, ef_construction=60, ef_search=24, seed=13),
+            metric=DistanceMetric.L2,
+            use_device=True,
+        )
+        idx.bulk_insert(list(range(1, n + 1)), vecs)
+        nq = 64
+        queries = vecs[rng.choice(n, nq, replace=False)] + 0.05 * (
+            rng.standard_normal((nq, dim)).astype(np.float32)
+        )
+        d_exact = distance_np(queries, vecs, DistanceMetric.L2)
+        gt = np.argsort(d_exact, axis=1, kind="stable")[:, :k]  # slot order
+        dev = idx._get_device()
+
+        def hits(ef_upper):
+            monkeypatch.setenv("SCNT_SEARCH_EF_UPPER", str(ef_upper))
+            s, d = dev.search(idx.store, queries, k, 24, entry_mode="descent")
+            total = 0
+            for b in range(nq):
+                row = s[b][s[b] >= 0]
+                assert len(set(row.tolist())) == len(row)  # no dup slots
+                dd = d[b][: len(row)]
+                assert (np.diff(dd) >= -1e-6).all()  # sorted
+                total += len(set(row) & set(gt[b]))
+            return total
+
+        greedy = hits(1)
+        beam = hits(8)
+        assert beam >= greedy
+        assert beam / (nq * k) >= 0.9
+
     def test_fused_subbatch_matches_chunked(self, rng, monkeypatch):
         """SCNT_FUSE_SUBBATCH scans the pivot kernel over sub-batches in
         ONE program (one dispatch/upload per pass over the tunnel); its
