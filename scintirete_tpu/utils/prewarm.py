@@ -312,17 +312,16 @@ def append_manifest(
         nbrs = jnp.full((npad, m0), -1, jnp.int32)
         dl = jnp.ones((npad,), jnp.bool_)
         t = upload((T,), np.int32)
-        si = None
+        si = sp = None
         for W in sorted({min(kb._W_INC_SMALL, m0), m0}):
-            si = done(
-                K["reprune_resident"](
-                    base, base_sq, nbrs, dl, t,
-                    upload((T, W), np.int32, -1),
-                    metric=metric, max_deg=m0, heuristic=h,
-                )
+            si, sp = K["reprune_resident"](
+                base, base_sq, nbrs, dl, t,
+                upload((T, W), np.int32, -1),
+                metric=metric, max_deg=m0, heuristic=h,
             )
+            si, sp = done((si, sp))
         for arity in (4, 16, 64):
-            _fetch_packed_idx([si] * arity)
+            _fetch_packed_idx([sp] * arity)  # the flush fetches pos (int8)
         nbrs = done(_scatter_rows(nbrs, t, si))  # donates its input
         # the new rows' OWN forward adjacency scatters into the resident
         # table at the append-batch pow2 bucket (knn_build.py ~1408, via

@@ -140,10 +140,20 @@ def run_mode(label, env, efs=(12, 24)):
             )
 
 
-run_mode("pivot_r16k", {})
-run_mode("pivot_r16k_steps256", {"SCNT_SEARCH_MAXSTEPS": "256"})
-run_mode("descent", {"SCNT_SEARCH_ENTRY": "descent"})
-run_mode("pivot_r64k", {"SCNT_PIVOT_CAP": "65536"})
+if os.environ.get("SCNT_AB_BEAM_DESCENT") == "1":
+    # post-fix A/B (r4, second half): greedy vs beam descent vs the scaled
+    # pivot default on one graph — the beam-descent repair at hardware scale
+    run_mode("descent_greedy", {"SCNT_SEARCH_ENTRY": "descent"})
+    run_mode("descent_beam4", {"SCNT_SEARCH_ENTRY": "descent",
+                               "SCNT_SEARCH_EF_UPPER": "4"})
+    run_mode("descent_beam8", {"SCNT_SEARCH_ENTRY": "descent",
+                               "SCNT_SEARCH_EF_UPPER": "8"})
+    run_mode("pivot_default", {})
+else:
+    run_mode("pivot_r16k", {})
+    run_mode("pivot_r16k_steps256", {"SCNT_SEARCH_MAXSTEPS": "256"})
+    run_mode("descent", {"SCNT_SEARCH_ENTRY": "descent"})
+    run_mode("pivot_r64k", {"SCNT_PIVOT_CAP": "65536"})
 # restore default pivots for any later use
 dev = idx._get_device()
 os.environ.pop("SCNT_PIVOT_CAP", None)
