@@ -322,7 +322,9 @@ def _kernels():
         slot's POSITION in the candidate row [cur | inc] — and rebuilds the
         ids from its own copies of both sources (store.neighbors0 and the
         batch's incoming lists), cutting the flush fetch 4x (1 byte/entry).
-        Positions fit int8: C = max_deg + inc_width <= 64."""
+        Positions fit int8 only while C = max_deg + inc_width < 128; the
+        caller (reprune_flush) routes stores with 2*max_deg > 128 to the
+        host chain instead."""
         cur = nbrs0[t_rows]  # [B, max_deg]
         # drop tombstoned current neighbors BEFORE the merge (host-oracle
         # semantics: a closer-but-deleted neighbor must not crowd out the
@@ -1375,7 +1377,16 @@ def append_batch(
         chain (their adjacency lives in per-layer tables, not worth a
         second device mirror)."""
         for (max_deg, heuristic), segs in rp_staged.items():
-            if nbrs0_j is not None and all(s[0] == 0 for s in segs):
+            # resident path packs candidate POSITIONS as int8: C =
+            # max_deg + inc_width <= 2*max_deg must fit (values < 128).
+            # Holds for the default m=16 (m0=32 -> C<=64); m > 32 would
+            # wrap positions negative and silently drop reverse edges —
+            # such stores take the id-fetch host chain below instead.
+            if (
+                nbrs0_j is not None
+                and 2 * max_deg <= 128
+                and all(s[0] == 0 for s in segs)
+            ):
                 _flush_resident(segs, max_deg, heuristic)
                 continue
             rows_per_seg, curs = [], []

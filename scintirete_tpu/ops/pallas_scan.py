@@ -171,13 +171,17 @@ _SENTINEL = 3.0e38  # "no candidate"; stays finite after bit-mangling
 # lane-same-group candidate-collision loss.
 _PREMIN = 4
 # per-row/per-query dequant scales are clamped here so the kernel's
-# score arithmetic cannot overflow f32: |2*dots*(qs*bs)| <=
-# 2 * 127*127*D * _SCALE_CAP^2 < 3.4e38 for D <= 8192. Rows with a
-# larger true scale (|elements| > ~1.3e17) lose first-pass ranking
-# fidelity only; the exact f32 rerank still returns exact distances.
-_SCALE_CAP = 1.0e15
-# squared-norm clamp: keeps bsq - dots-term < f32 max even at the caps
-_BSQ_CAP = 1.0e38
+# score arithmetic cannot overflow f32 even at the joint worst case:
+# |2*dots*(qs*bs)| <= 2 * 127*127*D * _SCALE_CAP^2 = 6.6e37 for
+# D <= 8192, and |bsq| <= _BSQ_CAP = 7e37, so |s| <= 1.4e38 < f32 max
+# — the finiteness invariant _pack_tile_ids relies on (an inf score
+# would OR tile bits into a NaN key and latch that lane's minimum for
+# the rest of the scan). Rows with a larger true scale (|elements| >
+# ~6e16) lose first-pass ranking fidelity only; the exact f32 rerank
+# still returns exact distances.
+_SCALE_CAP = 5.0e14
+# squared-norm clamp: keeps bsq + dots-term < f32 max at the caps
+_BSQ_CAP = 7.0e37
 
 
 def _pack_tile(s, step):

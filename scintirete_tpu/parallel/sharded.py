@@ -714,6 +714,12 @@ class ShardedHNSWIndex:
             refresh = range(self.S)
         else:
             refresh = [j for j in range(self.S) if changed[j]]
+            if refresh:
+                # copy-on-write: in-flight search payloads hold a reference
+                # to the table captured at submit time; refreshing rows in
+                # place would rewrite them under a pipelined collect (e.g.
+                # a delete+insert reusing a slot decodes the wrong id)
+                self._slot_ids = self._slot_ids.copy()
         for j in refresh:
             sid = self.subs[j].slot_to_id
             m = min(sid.shape[0], cap)

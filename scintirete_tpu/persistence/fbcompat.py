@@ -569,6 +569,7 @@ def export_rdb(engine, path: str) -> dict[str, Any]:
                 entry_id = ""
                 gmax_layer = 0
                 live = 0
+                first_live_id = None
                 if index is not None:
                     store = getattr(index, "store", None)
                     id_list = sorted(index.id_to_slot)
@@ -593,6 +594,8 @@ def export_rdb(engine, path: str) -> dict[str, Any]:
                             conns = []
                         if not deleted:
                             live += 1
+                            if first_live_id is None:
+                                first_live_id = vid
                         node_offs.append(
                             _wr_node(
                                 b, vid, elements,
@@ -602,6 +605,18 @@ def export_rdb(engine, path: str) -> dict[str, Any]:
                     if store is not None and store.entry_slot >= 0:
                         entry_id = str(int(index.slot_to_id[store.entry_slot]))
                         gmax_layer = max(int(store.max_layer), 0)
+                if not entry_id:
+                    # the reference hard-errors on ParseUint("") at restore
+                    # (rdb.go:1080) and fails the WHOLE file — flat and
+                    # empty collections must still emit a parseable id.
+                    # The reference's own export of an empty graph writes
+                    # the uint64 zero value ("%d" of EntryPoint, rdb.go:
+                    # 1020), so "0" matches its wire behavior; for flat
+                    # collections with data, point at the first live id.
+                    entry_id = (
+                        str(first_live_id) if first_live_id is not None
+                        else "0"
+                    )
                 nodes_off = _wr_offset_vec(b, node_offs)
                 entry_off = _wr_string(b, entry_id)
                 b.StartObject(4)
