@@ -25,9 +25,13 @@ This builder inverts the algorithm into dense batched phases per layer:
 4. **Final prune** — the selection rule applied to (forward u incoming),
    mirroring pruneConnections/heuristic re-selection (hnsw.go:586-614).
 
-Upper layers repeat the phases over the layer's member subset (geometric
-series: ~33% extra). Candidates are exact, so recall gates vs the
-sequential oracle hold; see tests/test_knn_build.py.
+Upper layers (l >= 1) are built SEPARATELY with sequential-insertion
+semantics (_build_upper_sequential): exact-kNN candidates are single-scale
+and the resulting layers strand a greedy walker at >= 1M (round-4 VERDICT
+item 1), so upper nodes instead greedy+beam-descend the hierarchy built so
+far — the reference's insert loop (hnsw.go:190-257) — batched into
+doubling rounds on device. Candidate quality gates vs the sequential
+oracle hold; see tests/test_knn_build.py.
 """
 
 from __future__ import annotations
@@ -385,6 +389,196 @@ def _kernels():
             heuristic=heuristic,
         )
 
+    @functools.partial(
+        jax.jit,
+        static_argnames=("metric", "ef_upper", "m", "lc", "max_steps"),
+        donate_argnums=(5,),
+    )
+    def upper_insert(
+        q,  # [B, D] query rows (device slice of the shared base)
+        q_rows,  # [B] i32 base-row index of each query
+        q_levels,  # [B] i32 target level (0 = inactive pad/out-of-round row)
+        base,  # [npad, D]
+        base_sq,  # [npad]
+        ucat,  # [tot_pad, m] i32 concatenated upper adjacency (base coords)
+        offs,  # [16] i32 concat offset of layer l at offs[l-1]
+        nms,  # [16] i32 INSERTED member count per layer (= min(P, nm_l))
+        entry_row,  # scalar i32 (base row 0 — the top-level node)
+        entry_level,  # scalar i32
+        metric: int,
+        ef_upper: int,
+        m: int,
+        lc: int,  # static layer budget (pow2 ladder; >= max level in block)
+        max_steps: int,
+    ):
+        """Sequential-semantics upper-layer insertion, batched (the device
+        analogue of the reference's insert loop above layer 0,
+        hnsw.go:190-257): greedy-descend each new node from the entry to
+        its own level, then beam searchLayer(ef_upper) per layer downward
+        — candidates come from the graph built so far, exactly like
+        sequential insertion (the round granularity is the only
+        staleness). Selection (diversity heuristic) runs in-kernel per
+        layer, and the forward rows scatter straight into the donated
+        device adjacency mirror, so the host fetch is the selections only.
+
+        Upper layers are PREFIXES of the level-desc base order, so the
+        row map is arithmetic: row(l, s) = offs[l-1] + s iff s < nms[l-1]
+        — no up_rows_flat table.
+
+        Returns (sel_s [(lc+1)*B, m], sel_d finalized, ucat')."""
+        from scintirete_tpu.index.device import (
+            _INF as DINF,
+            _beam_converged,
+            _beam_step,
+            _finalize,
+            _make_dist_fn,
+        )
+        from scintirete_tpu.index.device import BUILD_EXPAND
+
+        B = q.shape[0]
+        dist_to = _make_dist_fn(q, base, base_sq, metric)
+        deleted = jnp.zeros((base.shape[0],), bool)
+        expand = min(BUILD_EXPAND, ef_upper)
+
+        # ---- phase 1: greedy descent to each query's own start layer
+        ent = jnp.full((B,), entry_row, jnp.int32)
+        ent_d = dist_to(ent[:, None])[:, 0]
+        active0 = q_levels >= 1
+        lvl = jnp.where(active0, jnp.full((B,), entry_level, jnp.int32), 0)
+        stop = jnp.where(
+            active0, jnp.minimum(q_levels, entry_level), 0
+        )
+
+        def g_cond(st):
+            return jnp.any(st[2] > stop) & (st[3] < max_steps)
+
+        def g_body(st):
+            cur, cur_d, lv, it = st
+            act = lv > stop
+            l0 = jnp.maximum(lv, 1) - 1
+            row = jnp.where(
+                (cur >= 0) & (cur < nms[l0]), offs[l0] + cur, -1
+            )
+            row = jnp.where(act, row, -1)
+            nbrs = ucat[jnp.maximum(row, 0)]  # [B, m]
+            ok = (nbrs >= 0) & (row >= 0)[:, None]
+            d = jnp.where(ok, dist_to(jnp.maximum(nbrs, 0)), DINF)
+            best = jnp.argmin(d, axis=1)
+            best_d = jnp.take_along_axis(d, best[:, None], axis=1)[:, 0]
+            improve = (best_d < cur_d) & act
+            cur = jnp.where(
+                improve,
+                jnp.take_along_axis(nbrs, best[:, None], axis=1)[:, 0],
+                cur,
+            )
+            cur_d = jnp.where(improve, best_d, cur_d)
+            lv = jnp.where(act & ~improve, lv - 1, lv)
+            return cur, cur_d, lv, it + 1
+
+        cur, cur_d, _, _ = jax.lax.while_loop(
+            g_cond, g_body, (ent, ent_d, lvl, jnp.int32(0))
+        )
+
+        # ---- phase 2: per-layer beams downward, recording candidates
+        out_s = jnp.full((lc + 1, B, ef_upper), -1, jnp.int32)
+        out_d = jnp.full((lc + 1, B, ef_upper), DINF)
+        cand_s = (
+            jnp.full((B, ef_upper), -1, jnp.int32)
+            .at[:, 0].set(jnp.where(active0, cur, -1))
+        )
+        cand_d = (
+            jnp.full((B, ef_upper), DINF)
+            .at[:, 0].set(jnp.where(active0, cur_d, DINF))
+        )
+        expanded = jnp.zeros((B, ef_upper), bool)
+        cur_lvl = stop
+        b_idx = jnp.arange(B)
+
+        def up_cond(st):
+            return jnp.any(st[5] >= 1) & (st[6] < max_steps)
+
+        def up_body(st):
+            cand_s, cand_d, expanded, o_s, o_d, cur_lvl, steps = st
+            in_layers = cur_lvl >= 1
+            converged = _beam_converged(cand_s, cand_d, expanded)
+            transition = in_layers & converged
+            stepping = in_layers & ~converged
+
+            def rows_of(slots):
+                l0 = jnp.maximum(cur_lvl, 1)[:, None] - 1
+                return jnp.where(
+                    (slots >= 0) & (slots < nms[l0]), offs[l0] + slots, -1
+                )
+
+            new_s, new_d, new_e = _beam_step(
+                dist_to, deleted, cand_s, cand_d, expanded,
+                rows_of_slots=rows_of,
+                nbr_lookup=lambda rows: ucat[rows],
+                active=stepping, expand=expand,
+            )
+            cand_s = jnp.where(stepping[:, None], new_s, cand_s)
+            cand_d = jnp.where(stepping[:, None], new_d, cand_d)
+            expanded = jnp.where(stepping[:, None], new_e, expanded)
+
+            rec_l = jnp.minimum(cur_lvl, lc)
+            rec_s = jnp.where(transition[:, None], cand_s, o_s[rec_l, b_idx])
+            rec_d = jnp.where(transition[:, None], cand_d, o_d[rec_l, b_idx])
+            o_s = o_s.at[rec_l, b_idx].set(rec_s)
+            o_d = o_d.at[rec_l, b_idx].set(rec_d)
+
+            keep = jnp.arange(ef_upper) < m
+            cand_s = jnp.where(
+                transition[:, None], jnp.where(keep[None, :], cand_s, -1),
+                cand_s,
+            )
+            cand_d = jnp.where(
+                transition[:, None], jnp.where(keep[None, :], cand_d, DINF),
+                cand_d,
+            )
+            expanded = expanded & ~transition[:, None]
+            cur_lvl = jnp.where(transition, cur_lvl - 1, cur_lvl)
+            return cand_s, cand_d, expanded, o_s, o_d, cur_lvl, steps + 1
+
+        _, _, _, out_s, out_d, _, _ = jax.lax.while_loop(
+            up_cond,
+            up_body,
+            (cand_s, cand_d, expanded, out_s, out_d, cur_lvl, jnp.int32(0)),
+        )
+
+        # ---- in-kernel per-layer selection (diversity heuristic, same
+        # rule as the reference's upper layers) + finalized distances
+        out_d = _finalize(out_d, metric)
+
+        def sel_layer(t):
+            s_l, d_l = t
+            return select_block(
+                s_l, d_l, base, metric=metric, max_deg=m, heuristic=True
+            )
+
+        sel_s, sel_d = jax.lax.map(sel_layer, (out_s, out_d))
+        lmat = jnp.arange(lc + 1, dtype=jnp.int32)[:, None]  # [lc+1, 1]
+        valid = (q_levels[None, :] >= lmat) & (lmat >= 1) & (
+            q_rows[None, :] >= 0
+        )
+        sel_s = jnp.where(valid[:, :, None], sel_s, -1)
+        sel_d = jnp.where(valid[:, :, None], sel_d, DINF)
+
+        # ---- forward rows scatter into the device mirror (dest rows of
+        # invalid pairs go out of bounds and drop)
+        dest = jnp.where(
+            valid,
+            offs[jnp.maximum(lmat - 1, 0)] + q_rows[None, :],
+            ucat.shape[0],
+        )
+        ucat = ucat.at[dest.reshape(-1)].set(
+            sel_s.reshape((lc + 1) * B, m), mode="drop"
+        )
+        return (
+            sel_s.reshape((lc + 1) * B, m),
+            sel_d.reshape((lc + 1) * B, m),
+            ucat,
+        )
+
     @jax.jit
     def layer_mask(lev, deleted, l):
         """[Np] f32 invalid mask for layer l: 1.0 = not scannable
@@ -396,6 +590,7 @@ def _kernels():
 
     return {
         "knn_block": knn_block,
+        "upper_insert": upper_insert,
         "select_block": select_block,
         "merge_dedupe": merge_dedupe,
         "nbr_dists": nbr_dists,
@@ -500,6 +695,40 @@ def _incoming_host(
     inc_i[dst[keep], pos[keep]] = src[keep]
     inc_d[dst[keep], pos[keep]] = d[keep]
     return inc_i, inc_d
+
+
+def _compact_incoming(
+    src: np.ndarray,  # [E] i32/i64 edge sources
+    dst: np.ndarray,  # [E] i64 edge targets (>= 0, live)
+    d: np.ndarray,  # [E] f32 finalized distances
+    cap: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Group reverse edges by target, keep the nearest `cap` per target,
+    COMPACTED to one row per unique target (a full-table scatter would
+    allocate count x cap arrays per call). Returns (targets [T] i64,
+    inc_i [T, cap] i32, inc_d [T, cap] f32). The cap is exact for
+    nearest-`cap` re-selection: a farther edge can never survive it."""
+    uniq, inv = np.unique(dst, return_inverse=True)
+    bits = d.astype(np.float32).view(np.uint32)
+    mono = np.where(
+        bits & 0x80000000, ~bits, bits | np.uint32(0x80000000)
+    ).astype(np.uint64)
+    key = (inv.astype(np.uint64) << np.uint64(32)) | mono
+    order = np.argsort(key)
+    inv_o, src_o, d_o = inv[order], src[order], d[order]
+    E = len(dst)
+    iota = np.arange(E)
+    new_grp = np.empty(E, bool)
+    new_grp[0] = True
+    new_grp[1:] = inv_o[1:] != inv_o[:-1]
+    grp_start = np.maximum.accumulate(np.where(new_grp, iota, 0))
+    pos = iota - grp_start
+    keep = pos < cap
+    inc_i = np.full((len(uniq), cap), -1, np.int32)
+    inc_d = np.full((len(uniq), cap), np.inf, np.float32)
+    inc_i[inv_o[keep], pos[keep]] = src_o[keep]
+    inc_d[inv_o[keep], pos[keep]] = d_o[keep]
+    return uniq, inc_i, inc_d
 
 
 # ---------------------------------------------------------------------------
@@ -866,6 +1095,241 @@ def _refine_layer0(ctx, adj, nm, max_deg, heuristic, rounds):
         )
     return adj
 
+# ---------------------------------------------------------------------------
+# sequential-semantics upper-layer construction
+#
+# Round 4's per-layer independent kNN graphs misrouted a greedy walker at
+# >= 1M (descent recall 0.75 @ 1M / 0.54 @ 8M, benchmarks/results_round4.md
+# §3): exact top-C candidates are single-scale, so the diversity heuristic
+# only ever sees intra-cluster edges and the layer loses the multi-scale
+# "highway" edges sequential insertion creates. The fix is to construct the
+# upper hierarchy the way the reference does — each node's candidates come
+# from a SEARCH of the graph built so far (hnsw.go:190-257) — batched into
+# doubling rounds on device (the round granularity is the only staleness,
+# the same approximation bulk.py's chunked inserts make).
+# ---------------------------------------------------------------------------
+
+_UPPER_SEED = 256  # host-sequential bootstrap prefix
+_UPPER_ROUND_CAP = 65536  # staleness bound: max rows inserted per round
+
+
+def _seed_upper_host(rows, lvls, S, adj, metric, m):
+    """Sequential host insertion of base rows [0, S) into the upper
+    layers — exact full-prefix candidates (for a prefix this small a beam
+    with ef >= prefix size would return the same set), reference-semantics
+    selection, immediate reverse re-selection per touched neighbor.
+    Levels are desc-sorted, so every earlier row is a member of every
+    layer the current row joins."""
+    from scintirete_tpu.ops.distance import distance_np
+
+    for i in range(1, S):
+        li = int(lvls[i])
+        if li < 1:
+            break  # desc-sorted: no upper rows follow
+        d_all = distance_np(rows[i], rows[:i], metric).astype(np.float32)
+        order = np.argsort(d_all, kind="stable").astype(np.int32)
+        od = d_all[order]
+        for l in range(1, li + 1):
+            sel = _select_host(order, od, rows, metric, m, True)
+            adj[l][i, : len(sel)] = sel
+            adj[l][i, len(sel):] = -1
+            for v in sel:
+                cur = adj[l][v]
+                cand = np.unique(
+                    np.concatenate([cur[cur >= 0], [i]])
+                ).astype(np.int32)
+                dv = distance_np(rows[v], rows[cand], metric).astype(
+                    np.float32
+                )
+                o = np.argsort(dv, kind="stable")
+                sel2 = _select_host(cand[o], dv[o], rows, metric, m, True)
+                adj[l][v, : len(sel2)] = sel2
+                adj[l][v, len(sel2):] = -1
+
+
+def _drain_upper(flight):
+    """Materialize upper_insert selections: one packed transfer per
+    same-lc group (fixed 4/16/64 arities — program shapes stay bounded).
+    Yields (qs, qe, start_c, lc, sel_s [(lc+1), B, m], sel_d)."""
+    from scintirete_tpu.index.device import _fetch_packed
+
+    out = []
+    by_lc: dict[int, list] = {}
+    for ent in flight:
+        by_lc.setdefault(ent[3], []).append(ent)
+    GROUP = 64
+    for lc, group in sorted(by_lc.items()):
+        for g0 in range(0, len(group), GROUP):
+            sub = group[g0 : g0 + GROUP]
+            arity = GROUP
+            for a in (4, 16, GROUP):
+                if len(sub) <= a:
+                    arity = a
+                    break
+            padded = sub + [sub[0]] * (arity - len(sub))
+            d_host, s_host = _fetch_packed(
+                [e[5] for e in padded], [e[4] for e in padded]
+            )
+            rows = padded[0][4].shape[0]  # (lc+1) * _QBLOCK
+            for j, (qs, qe, start_c, lc_, _s, _d) in enumerate(sub):
+                s3 = s_host[j * rows : (j + 1) * rows].reshape(
+                    lc_ + 1, _QBLOCK, -1
+                )
+                d3 = d_host[j * rows : (j + 1) * rows].reshape(
+                    lc_ + 1, _QBLOCK, -1
+                )
+                out.append((qs, qe, start_c, lc_, s3, d3))
+    return out
+
+
+def _build_upper_sequential(ctx, lvls, m) -> dict[int, np.ndarray]:
+    """Adjacency for every upper layer, base coords: {l: [nm_l, m]}.
+
+    Host-sequential seed, then doubling rounds (capped at
+    SCNT_UPPER_ROUND_CAP rows for bounded staleness): each round's rows
+    greedy+beam-descend the hierarchy built so far (one fused device
+    program per _QBLOCK tile — K["upper_insert"]), forward selections
+    scatter into a device-resident mirror in-kernel and come back in one
+    packed fetch per round, reverse edges re-select through the shared
+    reprune_chain program. The host `adj` tables stay the source of
+    truth; the device mirror (`ucat`) only feeds the next round's beams.
+    """
+    import jax.numpy as jnp
+
+    from scintirete_tpu.index.device import DeviceGraph, _scatter_rows
+
+    K = _kernels()
+    metric = ctx["metric"]
+    L = int(lvls.max(initial=0))
+    n1 = int(np.count_nonzero(lvls >= 1))
+    lslots = 16 if L <= 16 else _pad_pow2(L, minimum=16)
+    nm = np.zeros(lslots, np.int64)
+    for l in range(1, L + 1):
+        nm[l - 1] = int(np.count_nonzero(lvls >= l))
+    adj = {
+        l: np.full((int(nm[l - 1]), m), -1, np.int32)
+        for l in range(1, L + 1)
+    }
+    if n1 <= 1:
+        return adj
+    S = min(n1, _UPPER_SEED)
+    with _phase("upper_seed"):
+        _seed_upper_host(ctx["rows_f32"], lvls, S, adj, metric, m)
+    if n1 <= S:
+        return adj
+
+    offs = np.zeros(lslots, np.int32)
+    tot = 0
+    for l in range(lslots):
+        offs[l] = tot
+        tot += int(nm[l])
+    tot_pad = _pad_pow4(max(tot, 1), minimum=2048)
+    ucat = jnp.full((tot_pad, m), -1, jnp.int32)
+    for l in range(1, L + 1):
+        k = min(S, int(nm[l - 1]))
+        if k > 0:
+            ucat = DeviceGraph._scatter_into(
+                ucat, offs[l - 1] + np.arange(k, dtype=np.int32), adj[l][:k]
+            )
+    offs_j = jnp.asarray(offs)
+    efu = max(int(os.environ.get("SCNT_UPPER_EFC", "64")), 2 * m)
+    cap_r = int(
+        os.environ.get("SCNT_UPPER_ROUND_CAP", str(_UPPER_ROUND_CAP))
+    )
+    entry_level = int(lvls[0])
+    base_j, base_sq, npad = ctx["base_j"], ctx["base_sq"], ctx["npad"]
+
+    P = S
+    while P < n1:
+        P2 = min(n1, P * 2, P + cap_r)
+        nms_cur = jnp.asarray(np.minimum(P, nm).astype(np.int32))
+        flight = []
+        with _phase("upper_kernel"):
+            for qs in range(P, P2, _QBLOCK):
+                qe = min(qs + _QBLOCK, P2)
+                start_c = max(min(qs, npad - _QBLOCK), 0)
+                qb, _qsq, si = K["slice_block"](
+                    base_j, base_sq, np.int32(start_c), block=_QBLOCK
+                )
+                lv = np.zeros(_QBLOCK, np.int32)
+                lv[qs - start_c : qe - start_c] = lvls[qs:qe]
+                lmax = int(lv.max(initial=1))
+                lc = 1
+                while lc < lmax:
+                    lc *= 2
+                lc = min(lc, lslots)
+                sel_s, sel_d, ucat = K["upper_insert"](
+                    qb, si, jnp.asarray(lv), base_j, base_sq, ucat,
+                    offs_j, nms_cur, np.int32(0), np.int32(entry_level),
+                    metric=metric, ef_upper=efu, m=m, lc=lc,
+                    max_steps=(lc + 2) * (efu + 64),
+                )
+                flight.append((qs, qe, start_c, lc, sel_s, sel_d))
+        # one packed fetch; then host writes + reverse-edge assembly
+        rev: dict[int, tuple[list, list, list]] = {}
+        with _phase("upper_drain"):
+            fetched = _drain_upper(flight)
+        for qs, qe, start_c, lc, s3, d3 in fetched:
+            for l in range(1, min(lc, L) + 1):
+                rows = np.arange(qs, qe)[lvls[qs:qe] >= l]
+                if rows.size == 0:
+                    continue
+                sl = s3[l, rows - start_c]
+                dl = d3[l, rows - start_c]
+                adj[l][rows] = sl
+                dsts = sl.reshape(-1).astype(np.int64)
+                keepm = dsts >= 0
+                if keepm.any():
+                    e = rev.setdefault(l, ([], [], []))
+                    e[0].append(np.repeat(rows, m)[keepm])
+                    e[1].append(dsts[keepm])
+                    e[2].append(dl.reshape(-1)[keepm])
+        with _phase("upper_reverse"):
+            for l, (ss, dd, vv) in sorted(rev.items()):
+                t_rows, inc_i, inc_d = _compact_incoming(
+                    np.concatenate(ss).astype(np.int32),
+                    np.concatenate(dd),
+                    np.concatenate(vv).astype(np.float32),
+                    m,
+                )
+                total = len(t_rows)
+                nchunk = (total + _RPBLOCK - 1) // _RPBLOCK
+                out_i = np.full((nchunk * _RPBLOCK, m), -1, np.int32)
+                out_d = np.full(
+                    (nchunk * _RPBLOCK, m), np.inf, np.float32
+                )
+                fl2 = []
+                for ts in range(0, total, _RPBLOCK):
+                    te = min(ts + _RPBLOCK, total)
+
+                    def padded(a, fill):
+                        out = np.full(
+                            (_RPBLOCK,) + a.shape[1:], fill, a.dtype
+                        )
+                        out[: te - ts] = a[ts:te]
+                        return out
+
+                    si_, sd_ = K["reprune_chain"](
+                        base_j, base_sq,
+                        jnp.asarray(padded(t_rows, 0)),
+                        jnp.asarray(padded(adj[l][t_rows], -1)),
+                        jnp.asarray(padded(inc_i, -1)),
+                        jnp.asarray(padded(inc_d, np.float32(np.inf))),
+                        metric=metric, max_deg=m, heuristic=True,
+                    )
+                    # keep the device mirror current for the next round
+                    dest = np.full(_RPBLOCK, tot_pad, np.int32)
+                    dest[: te - ts] = offs[l - 1] + t_rows[ts:te].astype(
+                        np.int32
+                    )
+                    ucat = _scatter_rows(ucat, jnp.asarray(dest), si_)
+                    fl2.append((ts, te, si_, sd_))
+                _drain_flight(fl2, out_i, out_d)
+                adj[l][t_rows] = out_i[:total]
+        P = P2
+    return adj
+
+
 def build(
     store: GraphStore,
     vectors: np.ndarray,
@@ -898,41 +1362,44 @@ def build(
     order = np.lexsort((shuffle_rng.random(n), -levels.astype(np.int64)))
     ctx = _make_build_ctx(vectors[order], metric)
 
+    # Upper layers are pure ROUTING structures (their edges never appear
+    # in results) and must carry a greedy walker — they are built with
+    # sequential-insertion semantics (search-based candidates, diversity
+    # selection; the reference's insert loop, hnsw.go:190-257) in device-
+    # batched doubling rounds. Layer 0, whose edges only need to serve a
+    # multi-entry ef-beam, keeps the exact-kNN bulk constructor and the
+    # configured selection rule (hnsw.go:560-583 simple selection).
+    upper_adj: dict[int, np.ndarray] = {}
+    if max_level >= 1:
+        with _phase("upper_seq"):
+            upper_adj = _build_upper_sequential(
+                ctx, levels[order].astype(np.int32), store.m
+            )
+
     for l in range(max_level + 1):
         nm = int(np.count_nonzero(levels >= l))
         max_deg = store.m0 if l == 0 else store.m
-        # Upper layers are pure ROUTING structures (their edges never
-        # appear in results). Diversity selection is always used there: a
-        # nearest-M kNN layer fragments into cluster cliques and strands
-        # the greedy descent — which would misroute not just searches but
-        # every subsequent host-path insert. Layer 0 keeps the configured
-        # rule (reference: hnsw.go:560-583 simple selection).
         heuristic = heuristic0 if l == 0 else True
         members = order[:nm]  # member slots of this layer, base order
-        if nm <= 1:
+        if l >= 1:
+            adj = upper_adj[l]
+        elif nm <= 1:
             adj = np.full((nm, max_deg), -1, np.int32)
         elif nm <= HOST_LAYER_MAX:
-            # layer 0's edges appear directly in results: give it the full
-            # candidate pool; upper ROUTING layers cap at 4*m (plenty for
-            # an m-degree diversity selection, and cheaper)
-            k_cand = (
-                KNN_CANDIDATES if l == 0 else min(KNN_CANDIDATES, 4 * store.m)
-            )
             adj = _build_layer_host(
-                vectors[members], metric, max_deg, k_cand, heuristic,
+                vectors[members], metric, max_deg, KNN_CANDIDATES, heuristic,
             )
         else:
             adj = _layer_adj(ctx, nm, max_deg, heuristic)
-            if l == 0:
-                env = os.environ.get("SCNT_BUILD_REFINE")
-                rounds = (
-                    int(env) if env is not None
-                    else int(getattr(store.params, "refine_rounds", 0) or 0)
+            env = os.environ.get("SCNT_BUILD_REFINE")
+            rounds = (
+                int(env) if env is not None
+                else int(getattr(store.params, "refine_rounds", 0) or 0)
+            )
+            if rounds > 0:
+                adj = _refine_layer0(
+                    ctx, adj, nm, max_deg, heuristic, rounds
                 )
-                if rounds > 0:
-                    adj = _refine_layer0(
-                        ctx, adj, nm, max_deg, heuristic, rounds
-                    )
         mapped = np.where(adj >= 0, members[np.maximum(adj, 0)], -1).astype(
             np.int32
         )
@@ -1471,25 +1938,7 @@ def append_batch(
         keep = (dst >= 0) & ~store.deleted[np.maximum(dst, 0)]
         src, dst, d = src[keep], dst[keep], d[keep]
         if len(dst):
-            uniq, inv = np.unique(dst, return_inverse=True)
-            bits = d.astype(np.float32).view(np.uint32)
-            mono = np.where(
-                bits & 0x80000000, ~bits, bits | np.uint32(0x80000000)
-            ).astype(np.uint64)
-            key = (inv.astype(np.uint64) << np.uint64(32)) | mono
-            order = np.argsort(key)
-            inv_o, src_o, d_o = inv[order], src[order], d[order]
-            iota = np.arange(len(dst))
-            new_grp = np.empty(len(dst), bool)
-            new_grp[0] = True
-            new_grp[1:] = inv_o[1:] != inv_o[:-1]
-            grp_start = np.maximum.accumulate(np.where(new_grp, iota, 0))
-            pos = iota - grp_start
-            keep = pos < store.m0
-            inc_i = np.full((len(uniq), store.m0), -1, np.int32)
-            inc_d = np.full((len(uniq), store.m0), np.inf, np.float32)
-            inc_i[inv_o[keep], pos[keep]] = src_o[keep]
-            inc_d[inv_o[keep], pos[keep]] = d_o[keep]
+            uniq, inc_i, inc_d = _compact_incoming(src, dst, d, store.m0)
             reprune_targets(uniq, inc_i, inc_d, 0, store.m0, heuristic0)
 
     # ---- upper layers: member-subset scans (host/XLA — member sets are

@@ -23,6 +23,7 @@ manifest and builder shows up in CI.
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -162,6 +163,67 @@ def build_manifest(
             for g in grids[1:]:
                 jobs.append(lambda g=g: done(scan(g)))
             first = False
+    # sequential upper-layer constructor programs: the fused
+    # insert-descend-select kernel per lc rung, the reverse reprune chain
+    # at the upper degree rule, the mirror init/scatter, and the seed
+    # scatter buckets (knn_build._build_upper_sequential)
+    def upper_job(lc):
+        from scintirete_tpu.index.device import _scatter_rows
+
+        efu = max(int(os.environ.get("SCNT_UPPER_EFC", "64")), 2 * m)
+        ucat = jnp.full((npad, m), -1, jnp.int32)
+        lv = jnp.zeros((B,), jnp.int32)
+        offs = jnp.zeros((16,), jnp.int32)
+        nms = jnp.zeros((16,), jnp.int32)
+        sel_s, sel_d, ucat = K["upper_insert"](
+            qb, si, lv, base, base_sq, ucat, offs, nms,
+            np.int32(0), np.int32(1), metric=metric, ef_upper=efu, m=m,
+            lc=lc, max_steps=(lc + 2) * (efu + 64),
+        )
+        done(sel_s)
+        # _drain_upper packed fetches: one concat program per (lc, arity)
+        from scintirete_tpu.index.device import _fetch_packed
+
+        for arity in (4, 16, 64):
+            _fetch_packed([sel_d] * arity, [sel_s] * arity)
+        # round-end mirror writeback of repruned rows
+        done(_scatter_rows(
+            ucat,
+            jnp.asarray(np.full(kb._RPBLOCK, npad, np.int32)),
+            jnp.asarray(np.full((kb._RPBLOCK, m), -1, np.int32)),
+        ))
+
+    for lc in (1, 2, 4, 8, 16):
+        jobs.append(lambda lc=lc: upper_job(lc))
+
+    def upper_reprune_job():
+        from scintirete_tpu.index.device import (
+            DeviceGraph, _fetch_packed, _fetch_packed_idx,  # noqa: F401
+        )
+
+        t = jnp.asarray(np.zeros(kb._RPBLOCK, np.int64))  # x64-off -> i32,
+        # the same dtype the build's padded t_rows upload resolves to
+        cur = jnp.asarray(np.full((kb._RPBLOCK, m), -1, np.int32))
+        incd = jnp.asarray(
+            np.full((kb._RPBLOCK, m), np.inf, np.float32)
+        )
+        si2, sd2 = done(K["reprune_chain"](
+            base, base_sq, t, cur, cur, incd,
+            metric=metric, max_deg=m, heuristic=True,
+        ))
+        for arity in (4, 16, 64):
+            _fetch_packed([sd2] * arity, [si2] * arity)
+        # seed-scatter pow2 buckets (S <= 256 rows per layer)
+        ucat = jnp.full((npad, m), -1, jnp.int32)
+        for k in (64, 128, 256):
+            ucat = DeviceGraph._scatter_into(
+                ucat, np.arange(k, dtype=np.int32),
+                np.full((k, m), -1, np.int32),
+            )
+        done(ucat)
+
+    jobs.append(upper_reprune_job)
+
     if refine:
         # one fused program per refinement round's forward tile; its
         # merge/select pieces inline under the chain jit, and the

@@ -650,3 +650,38 @@ def test_resident_cache_hits_and_invalidates(rng):
     )
     ok = sum(1 for i, r in enumerate(res) if r and r[0][0] == ids3[i])
     assert ok >= 62
+
+
+def test_greedy_descent_routes_clustered(rng):
+    """The sequential-semantics upper hierarchy must carry the REFERENCE's
+    routing — greedy ef=1 descent from the entry (hnsw.go:309-311) — on
+    clustered data, where round-4's independent per-layer kNN upper graphs
+    stranded the walker (VERDICT r4 item 1). Small-N canary for the
+    hardware-scale gate (benchmarks/upper_seq_1000000.json)."""
+    from scintirete_tpu.index.device import DeviceIndex
+
+    data = clustered(rng, 4000, dim=24, n_clusters=40)
+    store = GraphStore(
+        24,
+        HNSWParams(m=8, ef_construction=60, ef_search=40, seed=11),
+        DistanceMetric.COSINE,
+    )
+    knn_build.build(store, data)
+    # every upper layer got sequential-semantics adjacency: degree bounds
+    # + membership invariants
+    for ls in store.layers:
+        nbrs = ls.nbrs[: ls.count]
+        assert ((nbrs >= 0).sum(axis=1) <= store.m).all()
+        live = nbrs[nbrs >= 0]
+        assert (ls.row_of[live] >= 0).all(), "edge to a non-member"
+    queries = (
+        data[rng.integers(0, len(data), 128)]
+        + 0.1 * rng.standard_normal((128, 24)).astype(np.float32)
+    )
+    gt = brute_topk(queries, data, DistanceMetric.COSINE, 10)
+    dev = DeviceIndex()
+    s, _ = dev.search(store, queries, 10, 40, entry_mode="descent")
+    hits = sum(
+        len(set(s[i].tolist()) & set(gt[i].tolist())) for i in range(128)
+    )
+    assert hits / 1280 >= 0.97, f"greedy-descent recall {hits / 1280:.3f}"
