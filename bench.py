@@ -99,14 +99,42 @@ def make_dataset(rng, n, n_queries):
     return base, queries
 
 
-def ground_truth(queries, base, metric, k):
+def make_dataset_v3(rng, n, n_queries):
+    """Adversarial workload v3 — built AFTER the round-4 knobs were frozen
+    and deliberately unlike v2 (VERDICT r4 item 4): zipf-sized clusters
+    with per-cluster anisotropic spread, a 20% uniform background, and
+    OUT-OF-DISTRIBUTION queries (center mixtures + wide noise — never a
+    perturbation of a stored point, unlike v2's near-duplicates)."""
+    n_clusters = max(N_CLUSTERS_PER_100K * n // 100_000, 100)
+    centers = rng.standard_normal((n_clusters, DIM)).astype(np.float32) * 2.0
+    w = 1.0 / np.arange(1, n_clusters + 1) ** 1.1
+    w /= w.sum()
+    assign = rng.choice(n_clusters, n, p=w)
+    scales = (0.15 + 0.85 * rng.random((n_clusters, 1))).astype(np.float32)
+    base = centers[assign] + scales[assign] * rng.standard_normal((n, DIM))
+    bg = rng.random(n) < 0.2
+    base[bg] = rng.standard_normal((int(bg.sum()), DIM)) * 2.2
+    base = np.ascontiguousarray(base, np.float32)
+    a = rng.integers(0, n_clusters, n_queries)
+    b = rng.integers(0, n_clusters, n_queries)
+    lam = rng.random((n_queries, 1)).astype(np.float32)
+    queries = (
+        lam * centers[a] + (1.0 - lam) * centers[b]
+        + 0.6 * rng.standard_normal((n_queries, DIM))
+    ).astype(np.float32)
+    return base, queries
+
+
+def ground_truth(queries, base, metric, k, live_mask=None):
     import jax.numpy as jnp
 
     from scintirete_tpu.ops import brute_force_topk
 
     n = base.shape[0]
     bj = jnp.asarray(base)
-    valid = jnp.ones(n, bool)
+    valid = (
+        jnp.ones(n, bool) if live_mask is None else jnp.asarray(live_mask)
+    )
     true_i = np.empty((len(queries), k), np.int64)
     for s in range(0, len(queries), 512):
         _, ti = brute_force_topk(
@@ -154,6 +182,175 @@ def measure_host_baseline(idx, queries, n_queries=64):
         "estimated_concurrent_qps": round(est, 1),
         "graph_nodes": int(idx.store.live),
     }
+
+
+def ef_sweep(index, queries, true_i, efs, label, passes=2):
+    """Serve-only recall/QPS curve on an already-built index."""
+    from scintirete_tpu.types import SearchParams
+
+    rows = []
+    for ef in efs:
+        params = SearchParams(top_k=K, ef_search=ef)
+        index.search_batch(queries[:256], params)  # warm this ef variant
+        t0 = time.time()
+        outs = index.search_batch_pipelined([queries] * passes, params,
+                                            depth=3)
+        per = (time.time() - t0) / passes
+        rec = recall_of(outs[-1], true_i)
+        rows.append({"ef": ef, "qps": round(len(queries) / per, 1),
+                     "recall_at_10": round(rec, 4)})
+        log(f"{label} ef={ef}: {len(queries) / per:.0f} QPS "
+            f"recall@{K}={rec:.4f}")
+    return rows
+
+
+def run_ops_legs(rng, n=100_000):
+    """BASELINE.json config legs beyond the cosine headline (VERDICT r4
+    item 3): L2 and IP builds + ef sweeps, delete -> tombstone-compaction
+    (timed, count-checked, recall-checked), and a snapshot save/load
+    round-trip (timed, recall-checked after restore). Runs at 100k — the
+    reference's own ops harness scale class
+    (test/benchmark/vector_operations_test.go:16-35)."""
+    from scintirete_tpu.engine import Engine
+    from scintirete_tpu.index import HNSWIndex
+    from scintirete_tpu.persistence.rdb import RDBManager
+    from scintirete_tpu.types import (
+        CollectionConfig, DistanceMetric, HNSWParams, SearchParams,
+    )
+    from scintirete_tpu.utils import prewarm
+
+    out = {}
+    base, queries = make_dataset(rng, n, min(N_QUERIES, 2048))
+
+    # ---- L2 / inner-product legs (BASELINE configs[1]) ----
+    for name, metric in (("l2", DistanceMetric.L2),
+                         ("ip", DistanceMetric.INNER_PRODUCT)):
+        prewarm.warm_build(n, DIM, int(metric), m=16, heuristic=True)
+        idx = HNSWIndex(
+            dim=DIM,
+            params=HNSWParams(m=16, ef_construction=200, ef_search=EF_SEARCH,
+                              seed=42, neighbor_heuristic=True),
+            metric=metric, use_device=True, search_batch_size=256,
+        )
+        t0 = time.time()
+        idx.bulk_insert(list(range(1, n + 1)), base)
+        build_s = round(time.time() - t0, 1)
+        true_i = ground_truth(queries, base, int(metric), K)
+        sweep = ef_sweep(idx, queries, true_i, (EF_SEARCH, 24),
+                         f"ops[{name}]")
+        gated = max(
+            (r["qps"] for r in sweep if r["recall_at_10"] >= RECALL_GATE),
+            default=0.0,
+        )
+        out[name] = {"build_seconds": build_s, "ef_sweep": sweep,
+                     "gated_qps": gated}
+        log(f"ops[{name}]: build {build_s}s gated_qps {gated}")
+
+    # ---- delete -> compact + snapshot legs on an Engine collection ----
+    engine = Engine(use_device=True)
+    db = engine.create_database("bench")
+    col = db.create_collection(CollectionConfig(
+        name="c", metric=DistanceMetric.COSINE,
+        hnsw=HNSWParams(m=16, ef_construction=200, ef_search=EF_SEARCH,
+                        seed=42, neighbor_heuristic=True),
+    ))
+    t0 = time.time()
+    ids = col.insert([(v, None) for v in base])  # auto ids 1..n
+    assert ids[0] == 1 and ids[-1] == n
+    build_s = round(time.time() - t0, 1)
+    sp = SearchParams(top_k=K, ef_search=EF_SEARCH)
+
+    # snapshot save/load round trip (BASELINE configs[4]; rdb.go:134-236)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        rdb = RDBManager(os.path.join(td, "bench.rdb"))
+        t0 = time.time()
+        rdb.save(engine.export_state())
+        save_s = round(time.time() - t0, 2)
+        size_mb = round(
+            os.path.getsize(os.path.join(td, "bench.rdb")) / 1e6, 1
+        )
+        t0 = time.time()
+        engine2 = Engine(use_device=True)
+        engine2.restore_state(rdb.load())
+        load_s = round(time.time() - t0, 2)
+    col2 = engine2.get_database("bench").get_collection("c")
+    true_i = ground_truth(queries, base, int(DistanceMetric.COSINE), K)
+    r2 = col2._index.search_batch(queries, sp)
+    rec_restored = recall_of(r2, true_i)
+    out["snapshot"] = {
+        "build_seconds": build_s, "save_seconds": save_s,
+        "load_seconds": load_s, "rdb_mb": size_mb,
+        "recall_after_restore": round(rec_restored, 4),
+    }
+    log(f"ops[snapshot]: save {save_s}s load {load_s}s ({size_mb} MB) "
+        f"recall_after_restore {rec_restored:.4f}")
+
+    # delete 10% -> recall against the survivors -> compact -> recall
+    del_ids = [int(i) for i in rng.choice(n, n // 10, replace=False) + 1]
+    t0 = time.time()
+    n_del = col.delete(del_ids)
+    delete_s = round(time.time() - t0, 2)
+    live_mask = np.ones(n, bool)
+    live_mask[np.asarray(del_ids) - 1] = False
+    true_live = ground_truth(queries, base, int(DistanceMetric.COSINE), K,
+                             live_mask=live_mask)
+    rec_del = recall_of(col._index.search_batch(queries, sp), true_live)
+    t0 = time.time()
+    purged = col.compact()
+    compact_s = round(time.time() - t0, 1)
+    rec_cmp = recall_of(col._index.search_batch(queries, sp), true_live)
+    out["delete_compact"] = {
+        "deleted": n_del, "delete_seconds": delete_s,
+        "recall_after_delete": round(rec_del, 4),
+        "purged": purged, "compact_seconds": compact_s,
+        "recall_after_compact": round(rec_cmp, 4),
+        "count_after": col.count(),
+    }
+    assert n_del == len(del_ids) and purged == n_del
+    assert col.count() == n - n_del, (col.count(), n, n_del)
+    log(f"ops[delete_compact]: delete {n_del} in {delete_s}s "
+        f"(recall {rec_del:.4f}), compact {compact_s}s "
+        f"(recall {rec_cmp:.4f})")
+    return out
+
+
+def run_v3_leg(n, efs=(12, 16, 24, 32)):
+    """Adversarial-workload leg (VERDICT r4 item 4): build on workload v3
+    — which no serving knob was tuned on — and re-derive the ef knee
+    (smallest swept ef meeting the recall gate)."""
+    from scintirete_tpu.index import HNSWIndex
+    from scintirete_tpu.types import DistanceMetric, HNSWParams
+
+    rng3 = np.random.default_rng(1337)
+    base, queries = make_dataset_v3(rng3, n, N_QUERIES)
+    idx = HNSWIndex(
+        dim=DIM,
+        params=HNSWParams(m=16, ef_construction=200, ef_search=EF_SEARCH,
+                          seed=42, neighbor_heuristic=True),
+        metric=DistanceMetric.COSINE, use_device=True,
+        search_batch_size=256,
+    )
+    t0 = time.time()
+    idx.bulk_insert(list(range(1, n + 1)), base)
+    build_s = round(time.time() - t0, 1)
+    true_i = ground_truth(queries, base, int(DistanceMetric.COSINE), K)
+    sweep = ef_sweep(idx, queries, true_i, efs, "v3")
+    knee = next(
+        (r for r in sweep if r["recall_at_10"] >= RECALL_GATE), None
+    )
+    out = {
+        "n": n, "workload": "adversarial_v3", "build_seconds": build_s,
+        "ef_sweep": sweep,
+        "ef_knee": knee["ef"] if knee else None,
+        "gated_qps": knee["qps"] if knee else 0.0,
+        "gated_recall": knee["recall_at_10"] if knee else
+        max(r["recall_at_10"] for r in sweep),
+    }
+    log(f"v3[{n}]: build {build_s}s knee ef={out['ef_knee']} "
+        f"gated_qps {out['gated_qps']}")
+    return out
 
 
 def run_scale(n, rng):
@@ -385,6 +582,30 @@ def run_scale(n, rng):
             f"flat={out['flat_p50_ms_b1']}ms; b32 "
             f"hnsw={out['hnsw_p50_ms_b32']}ms flat={out['flat_p50_ms_b32']}ms"
         )
+
+    # ef-sweep curve (BASELINE configs[2]) + the hierarchical-descent
+    # serving leg (reference routing, hnsw.go:309-311 — the round-5
+    # sequential upper hierarchy carries it; pivot entry stays the
+    # TPU-native default)
+    if os.environ.get("BENCH_SWEEP", "1") == "1" and n >= 1_000_000:
+        out["ef_sweep"] = ef_sweep(
+            idx, queries, true_i, (8, 16, 24), f"n={n}", passes=1
+        )
+        dkeys = ("SCNT_SEARCH_ENTRY", "SCNT_SEARCH_EF_UPPER",
+                 "SCNT_SEARCH_SUBBATCH")
+        saved = {k_: os.environ.get(k_) for k_ in dkeys}
+        os.environ.update({"SCNT_SEARCH_ENTRY": "descent",
+                           "SCNT_SEARCH_EF_UPPER": "4",
+                           "SCNT_SEARCH_SUBBATCH": "1024"})
+        try:
+            out["descent"] = ef_sweep(
+                idx, queries, true_i, (EF_SEARCH,), f"n={n} descent",
+                passes=1,
+            )[0]
+        finally:
+            for k_, v_ in saved.items():
+                (os.environ.pop(k_, None) if v_ is None
+                 else os.environ.update({k_: v_}))
     return out, idx, queries
 
 
@@ -421,6 +642,14 @@ def main() -> None:
         )
     if scale == "4m":  # manual/judge runs (the 4M build is ~30 min)
         detail["s4m"], idx, queries = run_scale(4_000_000, rng)
+
+    # BASELINE.json config legs: L2/IP sweeps, delete->compact, snapshot
+    # round-trip (VERDICT r4 item 3) and the adversarial v3 workload the
+    # knobs were NOT tuned on (item 4)
+    if scale in ("1m", "both") and os.environ.get("BENCH_OPS", "1") == "1":
+        detail["ops_100k"] = run_ops_legs(rng, n=smoke_n or 100_000)
+    if scale in ("1m", "both") and os.environ.get("BENCH_V3", "1") == "1":
+        detail["s1m_v3"] = run_v3_leg(smoke_n * 10 if smoke_n else 1_000_000)
 
     baseline = measure_host_baseline(idx, queries)
     detail["baseline_measured"] = baseline

@@ -242,21 +242,35 @@ def _beam_step(
     safe = jnp.maximum(nbrs, 0)
     ok = (nbrs >= 0) & jnp.repeat(sel_ok & (rows >= 0), deg, axis=1)
     ok = ok & ~deleted[safe]
-    dup_list = jnp.any(nbrs[:, :, None] == cand_s[:, None, :], axis=2)
-    eq = nbrs[:, :, None] == nbrs[:, None, :]
-    earlier = jnp.tril(jnp.ones((K, K), bool), k=-1)
-    dup_block = jnp.any(eq & earlier[None, :, :], axis=2)
-    usable = ok & ~dup_list & ~dup_block
-    d = jnp.where(usable, dist_to(safe), _INF)
+    d = jnp.where(ok, dist_to(safe), _INF)
     all_d = jnp.concatenate([cand_d, d], axis=1)
-    all_s = jnp.concatenate([cand_s, jnp.where(usable, nbrs, -1)], axis=1)
+    all_s = jnp.concatenate([cand_s, jnp.where(ok, nbrs, -1)], axis=1)
     all_e = jnp.concatenate([expanded, jnp.zeros((B, K), bool)], axis=1)
-    # merge: ONE joint sort with the (slot, expanded) payload packed into an
-    # int32 — measurably cheaper than top_k + two take_along_axis gathers
-    packed = (all_s << 1) | all_e.astype(jnp.int32)
-    sorted_d, sorted_p = jax.lax.sort((all_d, packed), num_keys=1)
-    sorted_d, sorted_p = sorted_d[:, :ef], sorted_p[:, :ef]
-    return sorted_p >> 1, sorted_d, (sorted_p & 1).astype(bool)
+    # SORT-BASED dedup + merge. The first cut used O(K^2) pairwise
+    # equality masks per step (dup-in-list + dup-in-block); at build
+    # shapes (B=8192, K=128) those masks were ~200M bool lanes per step
+    # and dominated the whole upper-build kernel. Instead: sort by
+    # (distance, packed slot). Copies of the same slot have the SAME
+    # distance, so they sort adjacent (equal-d groups are ordered by
+    # packed, and slot copies differ only in the flag bit); the flag bit
+    # is INVERTED in the key so a slot's EXPANDED copy sorts first within
+    # its duplicate group and survives — a re-proposed in-list member
+    # must keep its expansion flag or the loop would re-expand forever.
+    packed = (all_s << 1) | (1 - all_e.astype(jnp.int32))
+    sd, sp = jax.lax.sort((all_d, packed), num_keys=2)
+    slot = sp >> 1
+    dup = jnp.concatenate(
+        [
+            jnp.zeros((B, 1), bool),
+            (slot[:, 1:] == slot[:, :-1]) & (slot[:, 1:] >= 0),
+        ],
+        axis=1,
+    )
+    sd = jnp.where(dup, _INF, sd)
+    sp = jnp.where(dup, -1, sp)  # slot -1, unexpanded
+    sd, sp = jax.lax.sort((sd, sp), num_keys=1)
+    sd, sp = sd[:, :ef], sp[:, :ef]
+    return sp >> 1, sd, (1 - (sp & 1)).astype(bool)
 
 
 def _beam_converged(cand_s, cand_d, expanded):
@@ -798,8 +812,27 @@ class DeviceGraph:
             sig = self._signature(store)
             dirty = store.take_dirty()
             try:
-                if self._shape_sig != sig or dirty is None:
+                if (
+                    self._shape_sig is None
+                    or dirty is None
+                    or sig[0] != self._shape_sig[0]
+                ):
                     self._full_upload(store)
+                elif sig[1] != self._shape_sig[1]:
+                    # a layer table grew: the concatenated offsets shift,
+                    # so the STRUCTURE tables re-upload — but the per-slot
+                    # arrays (vectors/sq_norms/neighbors0/deleted) keep
+                    # their incremental scatters. The old full-upload
+                    # response made the first append batches after an 8M
+                    # build ~12 GB of tunnel traffic each (every layer's
+                    # count sits on a pow2 boundary there) — the round-4
+                    # "unexplained 8M append decay" (33-99 vec/s).
+                    cat, rows = self._cat_tables(store)
+                    self.arrays["up_nbrs_cat"] = jnp.asarray(cat)
+                    self.arrays["up_rows_flat"] = jnp.asarray(rows)
+                    dirty["layers"].clear()
+                    dirty["layer_rows"].clear()
+                    self._incremental(store, dirty)
                 else:
                     self._incremental(store, dirty)
             except BaseException:
@@ -989,17 +1022,22 @@ class DeviceIndex:
             if os.environ.get("SCNT_QUERY_F16", "0") == "1"
             else jnp.float32
         )
+        # sub-batch width override: descent mode amortizes its serial
+        # while-loop step overhead over more queries per dispatch (the
+        # pivot default of 256 is tuned for transfer pipelining)
+        mb_env = int(os.environ.get("SCNT_SEARCH_SUBBATCH", "0") or 0)
+        sub_b = mb_env if mb_env > 0 else self.max_batch
         # fused sub-batches: scan the pivot kernel over chunks inside ONE
         # program — one dispatch + one query upload per pass instead of
         # B/max_batch of each (the tunnel charges per transfer/dispatch)
         fuse = (
             os.environ.get("SCNT_FUSE_SUBBATCH", "0") == "1"
             and entry_mode == "pivot"
-            and B > self.max_batch
-            and self.max_batch & (self.max_batch - 1) == 0
+            and B > sub_b
+            and sub_b & (sub_b - 1) == 0
         )
         if fuse:
-            mb = self.max_batch
+            mb = sub_b
             padded_b = max(1 << (B - 1).bit_length(), mb)
             chunk = queries
             if padded_b > B:
@@ -1024,8 +1062,8 @@ class DeviceIndex:
             s = s.reshape(padded_b, k)
             packed = _pack_deferred([d], [s])
             return (B, k, [(0, B, padded_b)], packed)
-        for start in range(0, B, self.max_batch):
-            chunk = queries[start : start + self.max_batch]
+        for start in range(0, B, sub_b):
+            chunk = queries[start : start + sub_b]
             n = chunk.shape[0]
             # next pow2, >= 8: one f32 sublane — the Pallas pivot scan
             # rejects query blocks smaller than a sublane on real TPUs

@@ -83,6 +83,8 @@ _ROUND0 = 128  # first-round prefix size (sparse enough for long-range edges)
 _QBLOCK = 2048  # rows scanned per kNN dispatch
 _RPBLOCK = 8192  # reprune targets per device chain (FIXED pad: one
 # program set per degree rule regardless of append size)
+_RPBLOCK_UPPER = 32768  # wider chains for the upper-layer build's bulk
+# reverse passes (fewer tunnel round trips; same total bytes)
 _W_INC_SMALL = 8  # narrow incoming-width bucket for the resident flush:
 # targets with <= this many incoming edges (almost all of them) upload a
 # [_RPBLOCK, 8] id block instead of [_RPBLOCK, m0]
@@ -425,7 +427,9 @@ def _kernels():
         row map is arithmetic: row(l, s) = offs[l-1] + s iff s < nms[l-1]
         — no up_rows_flat table.
 
-        Returns (sel_s [(lc+1)*B, m], sel_d finalized, ucat')."""
+        Returns (sel_s [(lc+1)*B, m] i32, ucat') — ids only: the reverse
+        pass recomputes every distance on device (they're symmetric), so
+        nothing float ever crosses the tunnel."""
         from scintirete_tpu.index.device import (
             _INF as DINF,
             _beam_converged,
@@ -561,7 +565,6 @@ def _kernels():
             q_rows[None, :] >= 0
         )
         sel_s = jnp.where(valid[:, :, None], sel_s, -1)
-        sel_d = jnp.where(valid[:, :, None], sel_d, DINF)
 
         # ---- forward rows scatter into the device mirror (dest rows of
         # invalid pairs go out of bounds and drop)
@@ -573,11 +576,41 @@ def _kernels():
         ucat = ucat.at[dest.reshape(-1)].set(
             sel_s.reshape((lc + 1) * B, m), mode="drop"
         )
-        return (
-            sel_s.reshape((lc + 1) * B, m),
-            sel_d.reshape((lc + 1) * B, m),
-            ucat,
+        return sel_s.reshape((lc + 1) * B, m), ucat
+
+    @functools.partial(
+        jax.jit, static_argnames=("metric", "m"), donate_argnums=(2,)
+    )
+    def upper_reprune_resident(
+        base, base_sq,
+        ucat,  # [tot_pad, m] donated mirror
+        off_l,  # scalar i32 concat offset of this layer
+        t_rows,  # [T] i32 target base rows (pad >= tot_pad -> dropped)
+        inc_i,  # [T, W] i32 incoming ids (-1 pad)
+        metric: int,
+        m: int,
+    ):
+        """Upper-build reverse re-selection against the RESIDENT mirror:
+        current adjacency gathered from ucat, every candidate distance
+        recomputed on the MXU (incoming distances are symmetric), the
+        diversity re-selection applied, and the rows scattered back — the
+        host uploads target rows + incoming ids and fetches selected ids
+        only. The first cut's host-fed reprune_chain uploaded current
+        rows + f32 incoming distances and fetched (ids, dists): ~3x the
+        tunnel bytes of this kernel (84 s of a 1M build)."""
+        rows = off_l + t_rows
+        cur = ucat[rows]  # [T, m] (gather clamps; pad rows are dropped on
+        # write and their fetched selection is ignored by the host)
+        cand = jnp.concatenate([cur, inc_i], axis=1)
+        d = nbr_dists(base, base_sq, t_rows, cand, metric)
+        W = inc_i.shape[1]
+        mi, md = merge_dedupe(cand[:, :m], d[:, :m], cand[:, m:], d[:, m:])
+        mi, md = mi[:, : m + W], md[:, : m + W]
+        si, _sd = select_block(
+            mi, md, base, metric=metric, max_deg=m, heuristic=True
         )
+        ucat = ucat.at[rows].set(si, mode="drop")
+        return si, ucat
 
     @jax.jit
     def layer_mask(lev, deleted, l):
@@ -591,6 +624,7 @@ def _kernels():
     return {
         "knn_block": knn_block,
         "upper_insert": upper_insert,
+        "upper_reprune_resident": upper_reprune_resident,
         "select_block": select_block,
         "merge_dedupe": merge_dedupe,
         "nbr_dists": nbr_dists,
@@ -729,6 +763,30 @@ def _compact_incoming(
     inc_i[inv_o[keep], pos[keep]] = src_o[keep]
     inc_d[inv_o[keep], pos[keep]] = d_o[keep]
     return uniq, inc_i, inc_d
+
+
+def _compact_incoming_ids(
+    src: np.ndarray, dst: np.ndarray, cap: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """ids-only _compact_incoming: group by target, keep the first `cap`
+    per target in appearance order (no distances cross the tunnel — the
+    resident reprune kernel recomputes them exactly on device). The cap
+    is 2x the re-selection degree, so an arbitrary-order cut only loses
+    candidates at targets with >2m incoming edges in ONE round."""
+    uniq, inv = np.unique(dst, return_inverse=True)
+    order = np.argsort(inv, kind="stable")
+    inv_o, src_o = inv[order], src[order]
+    E = len(dst)
+    iota = np.arange(E)
+    new_grp = np.empty(E, bool)
+    new_grp[0] = True
+    new_grp[1:] = inv_o[1:] != inv_o[:-1]
+    grp_start = np.maximum.accumulate(np.where(new_grp, iota, 0))
+    pos = iota - grp_start
+    keep = pos < cap
+    inc_i = np.full((len(uniq), cap), -1, np.int32)
+    inc_i[inv_o[keep], pos[keep]] = src_o[keep]
+    return uniq.astype(np.int32), inc_i
 
 
 # ---------------------------------------------------------------------------
@@ -1119,18 +1177,40 @@ def _seed_upper_host(rows, lvls, S, adj, metric, m):
     with ef >= prefix size would return the same set), reference-semantics
     selection, immediate reverse re-selection per touched neighbor.
     Levels are desc-sorted, so every earlier row is a member of every
-    layer the current row joins."""
+    layer the current row joins. One S x S distance matrix up front; the
+    selection loops are pure table lookups (the per-edge distance_np
+    calls of the first cut were 83 s of a 1M build)."""
     from scintirete_tpu.ops.distance import distance_np
+
+    dmat = distance_np(rows[:S], rows[:S], metric).astype(np.float32)
+
+    def select(cands, ds):
+        """Diversity heuristic + keep-pruned fill over dmat lookups
+        (same rule as _select_host)."""
+        selected: list[int] = []
+        pruned: list[int] = []
+        for c, dq in zip(cands, ds):
+            if len(selected) == m:
+                break
+            if selected and (dmat[c, selected] <= dq).any():
+                pruned.append(int(c))
+                continue
+            selected.append(int(c))
+        for c in pruned:
+            if len(selected) == m:
+                break
+            selected.append(c)
+        return selected
 
     for i in range(1, S):
         li = int(lvls[i])
         if li < 1:
             break  # desc-sorted: no upper rows follow
-        d_all = distance_np(rows[i], rows[:i], metric).astype(np.float32)
-        order = np.argsort(d_all, kind="stable").astype(np.int32)
-        od = d_all[order]
+        order = np.argsort(dmat[i, :i], kind="stable")
+        # candidates (full prefix) are identical at every layer i joins:
+        # one forward selection serves all of them
+        sel = select(order.tolist(), dmat[i, order])
         for l in range(1, li + 1):
-            sel = _select_host(order, od, rows, metric, m, True)
             adj[l][i, : len(sel)] = sel
             adj[l][i, len(sel):] = -1
             for v in sel:
@@ -1138,20 +1218,17 @@ def _seed_upper_host(rows, lvls, S, adj, metric, m):
                 cand = np.unique(
                     np.concatenate([cur[cur >= 0], [i]])
                 ).astype(np.int32)
-                dv = distance_np(rows[v], rows[cand], metric).astype(
-                    np.float32
-                )
-                o = np.argsort(dv, kind="stable")
-                sel2 = _select_host(cand[o], dv[o], rows, metric, m, True)
+                o = np.argsort(dmat[v, cand], kind="stable")
+                sel2 = select(cand[o].tolist(), dmat[v, cand][o])
                 adj[l][v, : len(sel2)] = sel2
                 adj[l][v, len(sel2):] = -1
 
 
-def _drain_upper(flight):
-    """Materialize upper_insert selections: one packed transfer per
-    same-lc group (fixed 4/16/64 arities — program shapes stay bounded).
-    Yields (qs, qe, start_c, lc, sel_s [(lc+1), B, m], sel_d)."""
-    from scintirete_tpu.index.device import _fetch_packed
+def _drain_upper(flight, ub: int):
+    """Materialize upper_insert selections: one packed ids-only transfer
+    per same-lc group (fixed 4/16/64 arities — program shapes stay
+    bounded). Yields (qs, qe, start_c, lc, sel_s [(lc+1), ub, m])."""
+    from scintirete_tpu.index.device import _fetch_packed_idx
 
     out = []
     by_lc: dict[int, list] = {}
@@ -1167,18 +1244,13 @@ def _drain_upper(flight):
                     arity = a
                     break
             padded = sub + [sub[0]] * (arity - len(sub))
-            d_host, s_host = _fetch_packed(
-                [e[5] for e in padded], [e[4] for e in padded]
-            )
-            rows = padded[0][4].shape[0]  # (lc+1) * _QBLOCK
-            for j, (qs, qe, start_c, lc_, _s, _d) in enumerate(sub):
+            s_host = _fetch_packed_idx([e[4] for e in padded])
+            rows = padded[0][4].shape[0]  # (lc+1) * ub
+            for j, (qs, qe, start_c, lc_, _s) in enumerate(sub):
                 s3 = s_host[j * rows : (j + 1) * rows].reshape(
-                    lc_ + 1, _QBLOCK, -1
+                    lc_ + 1, ub, -1
                 )
-                d3 = d_host[j * rows : (j + 1) * rows].reshape(
-                    lc_ + 1, _QBLOCK, -1
-                )
-                out.append((qs, qe, start_c, lc_, s3, d3))
+                out.append((qs, qe, start_c, lc_, s3))
     return out
 
 
@@ -1196,7 +1268,7 @@ def _build_upper_sequential(ctx, lvls, m) -> dict[int, np.ndarray]:
     """
     import jax.numpy as jnp
 
-    from scintirete_tpu.index.device import DeviceGraph, _scatter_rows
+    from scintirete_tpu.index.device import DeviceGraph
 
     K = _kernels()
     metric = ctx["metric"]
@@ -1239,93 +1311,98 @@ def _build_upper_sequential(ctx, lvls, m) -> dict[int, np.ndarray]:
     entry_level = int(lvls[0])
     base_j, base_sq, npad = ctx["base_j"], ctx["base_sq"], ctx["npad"]
 
+    # larger tiles above the CPU-test scale: the kernel dispatch + fetch
+    # round trips dominate the phase over the tunnel, not device time
+    UB = 8192 if ctx["n"] >= 65536 else _QBLOCK
+
     P = S
     while P < n1:
         P2 = min(n1, P * 2, P + cap_r)
         nms_cur = jnp.asarray(np.minimum(P, nm).astype(np.int32))
         flight = []
         with _phase("upper_kernel"):
-            for qs in range(P, P2, _QBLOCK):
-                qe = min(qs + _QBLOCK, P2)
-                start_c = max(min(qs, npad - _QBLOCK), 0)
+            for qs in range(P, P2, UB):
+                qe = min(qs + UB, P2)
+                start_c = max(min(qs, npad - UB), 0)
                 qb, _qsq, si = K["slice_block"](
-                    base_j, base_sq, np.int32(start_c), block=_QBLOCK
+                    base_j, base_sq, np.int32(start_c), block=UB
                 )
-                lv = np.zeros(_QBLOCK, np.int32)
+                lv = np.zeros(UB, np.int32)
                 lv[qs - start_c : qe - start_c] = lvls[qs:qe]
                 lmax = int(lv.max(initial=1))
                 lc = 1
                 while lc < lmax:
                     lc *= 2
                 lc = min(lc, lslots)
-                sel_s, sel_d, ucat = K["upper_insert"](
+                sel_s, ucat = K["upper_insert"](
                     qb, si, jnp.asarray(lv), base_j, base_sq, ucat,
                     offs_j, nms_cur, np.int32(0), np.int32(entry_level),
                     metric=metric, ef_upper=efu, m=m, lc=lc,
                     max_steps=(lc + 2) * (efu + 64),
                 )
-                flight.append((qs, qe, start_c, lc, sel_s, sel_d))
-        # one packed fetch; then host writes + reverse-edge assembly
-        rev: dict[int, tuple[list, list, list]] = {}
+                flight.append((qs, qe, start_c, lc, sel_s))
+        # one packed ids-only fetch; then host writes + reverse assembly
+        rev: dict[int, tuple[list, list]] = {}
         with _phase("upper_drain"):
-            fetched = _drain_upper(flight)
-        for qs, qe, start_c, lc, s3, d3 in fetched:
+            fetched = _drain_upper(flight, UB)
+        for qs, qe, start_c, lc, s3 in fetched:
             for l in range(1, min(lc, L) + 1):
                 rows = np.arange(qs, qe)[lvls[qs:qe] >= l]
                 if rows.size == 0:
                     continue
                 sl = s3[l, rows - start_c]
-                dl = d3[l, rows - start_c]
                 adj[l][rows] = sl
                 dsts = sl.reshape(-1).astype(np.int64)
                 keepm = dsts >= 0
                 if keepm.any():
-                    e = rev.setdefault(l, ([], [], []))
+                    e = rev.setdefault(l, ([], []))
                     e[0].append(np.repeat(rows, m)[keepm])
                     e[1].append(dsts[keepm])
-                    e[2].append(dl.reshape(-1)[keepm])
+        # reverse re-selection against the RESIDENT mirror: dispatch every
+        # layer's chains first, fetch ids once, write host tables. (The
+        # first cut serialized a blocking drain per layer — ~0.5 s of
+        # tunnel round trips per chain, 201 s of a 1M build — and fed the
+        # chains current rows + f32 distances from host.)
         with _phase("upper_reverse"):
-            for l, (ss, dd, vv) in sorted(rev.items()):
-                t_rows, inc_i, inc_d = _compact_incoming(
+            fl2 = []  # (layer, t_rows, ts, te, si_, block)
+            for l, (ss, dd) in sorted(rev.items()):
+                t_rows, inc_i = _compact_incoming_ids(
                     np.concatenate(ss).astype(np.int32),
                     np.concatenate(dd),
-                    np.concatenate(vv).astype(np.float32),
-                    m,
+                    2 * m,
                 )
                 total = len(t_rows)
-                nchunk = (total + _RPBLOCK - 1) // _RPBLOCK
-                out_i = np.full((nchunk * _RPBLOCK, m), -1, np.int32)
-                out_d = np.full(
-                    (nchunk * _RPBLOCK, m), np.inf, np.float32
-                )
-                fl2 = []
-                for ts in range(0, total, _RPBLOCK):
-                    te = min(ts + _RPBLOCK, total)
-
-                    def padded(a, fill):
-                        out = np.full(
-                            (_RPBLOCK,) + a.shape[1:], fill, a.dtype
-                        )
-                        out[: te - ts] = a[ts:te]
-                        return out
-
-                    si_, sd_ = K["reprune_chain"](
-                        base_j, base_sq,
-                        jnp.asarray(padded(t_rows, 0)),
-                        jnp.asarray(padded(adj[l][t_rows], -1)),
-                        jnp.asarray(padded(inc_i, -1)),
-                        jnp.asarray(padded(inc_d, np.float32(np.inf))),
-                        metric=metric, max_deg=m, heuristic=True,
+                block = _RPBLOCK_UPPER if total > _RPBLOCK else _RPBLOCK
+                for ts in range(0, total, block):
+                    te = min(ts + block, total)
+                    tpad = np.full(block, tot_pad, np.int32)
+                    tpad[: te - ts] = t_rows[ts:te]
+                    ipad = np.full((block, 2 * m), -1, np.int32)
+                    ipad[: te - ts] = inc_i[ts:te]
+                    si_, ucat = K["upper_reprune_resident"](
+                        base_j, base_sq, ucat, np.int32(offs[l - 1]),
+                        jnp.asarray(tpad), jnp.asarray(ipad),
+                        metric=metric, m=m,
                     )
-                    # keep the device mirror current for the next round
-                    dest = np.full(_RPBLOCK, tot_pad, np.int32)
-                    dest[: te - ts] = offs[l - 1] + t_rows[ts:te].astype(
-                        np.int32
-                    )
-                    ucat = _scatter_rows(ucat, jnp.asarray(dest), si_)
-                    fl2.append((ts, te, si_, sd_))
-                _drain_flight(fl2, out_i, out_d)
-                adj[l][t_rows] = out_i[:total]
+                    fl2.append((l, t_rows, ts, te, si_, block))
+            # one packed ids-only fetch per chain-block size
+            from scintirete_tpu.index.device import _fetch_packed_idx
+
+            for blk in sorted({e[5] for e in fl2}):
+                grp = [e for e in fl2 if e[5] == blk]
+                for g0 in range(0, len(grp), 64):
+                    sub = grp[g0 : g0 + 64]
+                    arity = 64
+                    for a in (4, 16, 64):
+                        if len(sub) <= a:
+                            arity = a
+                            break
+                    pads = sub + [sub[0]] * (arity - len(sub))
+                    si_h = _fetch_packed_idx([e[4] for e in pads])
+                    for j, (l, t_rows, ts, te, _si, _b) in enumerate(sub):
+                        adj[l][t_rows[ts:te]] = si_h[
+                            j * blk : j * blk + (te - ts)
+                        ]
         P = P2
     return adj
 

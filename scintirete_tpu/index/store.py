@@ -188,10 +188,21 @@ class GraphStore:
         )
         for l, ls in enumerate(self.layers, start=1):
             expected = ls.count + int(incoming[l:].sum())
-            if expected > ls.cap:
-                self.invalidate_dirty()
+            # ~12% headroom: at pow2 collection sizes every layer's count
+            # lands ON a pow2 boundary (E[count_l] = n/2^l), so sizing to
+            # the exact need leaves the first post-build append batches
+            # tripping one layer doubling each — growth is cheap for the
+            # mirror now (cat-table re-upload, not a full one) but still
+            # the most expensive batch shape
+            need = expected + max(expected >> 3, 64)
+            if need > ls.cap:
+                # growth does NOT invalidate dirty tracking: row contents
+                # and row_of are preserved by _grow_to; only the device
+                # mirror's concatenated offsets shift, which sync detects
+                # via its shape signature and repairs by re-uploading the
+                # (small) structure tables alone (device.py sync)
                 new_cap = ls.cap
-                while new_cap < expected:
+                while new_cap < need:
                     new_cap *= 2
                 ls.cap = new_cap
                 ls.node_slot = _grow_to(ls.node_slot, new_cap, -1)
@@ -239,8 +250,8 @@ class GraphStore:
             self.layers.append(LayerStore(self.m, self.cap))
         for l in range(1, level + 1):
             ls = self.layers[l - 1]
-            if ls.count == ls.cap:
-                self.invalidate_dirty()  # layer table grows; full upload next
+            # a full layer doubles inside add(); dirty tracking stays valid
+            # (see reserve) — sync repairs the concatenated tables alone
             ls.add(slot)
             self._mark_layer("layer_rows", l, slot)
         self.version += 1

@@ -46,7 +46,12 @@ class GrpcServer:
         service: ScintireteService,
         host: str = "127.0.0.1",
         port: int = 9090,
-        max_workers: int = 16,
+        max_workers: int = 64,
+        # 64 (not the old 16): legacy b=1 Search RPCs park their worker
+        # thread in SearchBatcher.submit until the coalesced device
+        # dispatch returns — the worker count caps how many concurrent
+        # single-query clients can fuse into one launch, and parked
+        # threads are cheap (they hold no GIL while waiting)
     ):
         self.service = service
         self._server = grpc.server(

@@ -167,54 +167,53 @@ def build_manifest(
     # insert-descend-select kernel per lc rung, the reverse reprune chain
     # at the upper degree rule, the mirror init/scatter, and the seed
     # scatter buckets (knn_build._build_upper_sequential)
+    UB = 8192 if n >= 65536 else B  # knn_build._build_upper_sequential
+
     def upper_job(lc):
-        from scintirete_tpu.index.device import _scatter_rows
+        from scintirete_tpu.index.device import _fetch_packed_idx
 
         efu = max(int(os.environ.get("SCNT_UPPER_EFC", "64")), 2 * m)
+        uqb, _uqsq, usi = done(
+            K["slice_block"](base, base_sq, np.int32(0), block=UB)
+        )
         ucat = jnp.full((npad, m), -1, jnp.int32)
-        lv = jnp.zeros((B,), jnp.int32)
+        lv = jnp.zeros((UB,), jnp.int32)
         offs = jnp.zeros((16,), jnp.int32)
         nms = jnp.zeros((16,), jnp.int32)
-        sel_s, sel_d, ucat = K["upper_insert"](
-            qb, si, lv, base, base_sq, ucat, offs, nms,
+        sel_s, ucat = K["upper_insert"](
+            uqb, usi, lv, base, base_sq, ucat, offs, nms,
             np.int32(0), np.int32(1), metric=metric, ef_upper=efu, m=m,
             lc=lc, max_steps=(lc + 2) * (efu + 64),
         )
         done(sel_s)
-        # _drain_upper packed fetches: one concat program per (lc, arity)
-        from scintirete_tpu.index.device import _fetch_packed
-
+        # _drain_upper packed ids fetches: one concat per (lc, arity)
         for arity in (4, 16, 64):
-            _fetch_packed([sel_d] * arity, [sel_s] * arity)
-        # round-end mirror writeback of repruned rows
-        done(_scatter_rows(
-            ucat,
-            jnp.asarray(np.full(kb._RPBLOCK, npad, np.int32)),
-            jnp.asarray(np.full((kb._RPBLOCK, m), -1, np.int32)),
-        ))
+            _fetch_packed_idx([sel_s] * arity)
+        done(ucat)
 
     for lc in (1, 2, 4, 8, 16):
         jobs.append(lambda lc=lc: upper_job(lc))
 
     def upper_reprune_job():
         from scintirete_tpu.index.device import (
-            DeviceGraph, _fetch_packed, _fetch_packed_idx,  # noqa: F401
+            DeviceGraph, _fetch_packed_idx,
         )
 
-        t = jnp.asarray(np.zeros(kb._RPBLOCK, np.int64))  # x64-off -> i32,
-        # the same dtype the build's padded t_rows upload resolves to
-        cur = jnp.asarray(np.full((kb._RPBLOCK, m), -1, np.int32))
-        incd = jnp.asarray(
-            np.full((kb._RPBLOCK, m), np.inf, np.float32)
-        )
-        si2, sd2 = done(K["reprune_chain"](
-            base, base_sq, t, cur, cur, incd,
-            metric=metric, max_deg=m, heuristic=True,
-        ))
-        for arity in (4, 16, 64):
-            _fetch_packed([sd2] * arity, [si2] * arity)
-        # seed-scatter pow2 buckets (S <= 256 rows per layer)
+        blocks = {kb._RPBLOCK}
+        if n >= 65536:
+            blocks.add(kb._RPBLOCK_UPPER)
         ucat = jnp.full((npad, m), -1, jnp.int32)
+        for blk in sorted(blocks):
+            t = jnp.asarray(np.full(blk, npad, np.int32))
+            inc = jnp.asarray(np.full((blk, 2 * m), -1, np.int32))
+            si2, ucat = K["upper_reprune_resident"](
+                base, base_sq, ucat, np.int32(0), t, inc,
+                metric=metric, m=m,
+            )
+            done(si2)
+            for arity in (4, 16, 64):
+                _fetch_packed_idx([si2] * arity)
+        # seed-scatter pow2 buckets (S <= 256 rows per layer)
         for k in (64, 128, 256):
             ucat = DeviceGraph._scatter_into(
                 ucat, np.arange(k, dtype=np.int32),

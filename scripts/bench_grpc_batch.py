@@ -92,7 +92,7 @@ def serve(args):
 
     for b in (1, 256, 1024, 4096):
         col.search_batch_arrays(queries[:b], SearchParams(top_k=10))
-    server = GrpcServer(svc, port=args.port)
+    server = GrpcServer(svc, port=args.port, max_workers=128)
     server.start()
     print(f"READY {server.port}", flush=True)
     threading.Event().wait()  # until killed
@@ -136,6 +136,50 @@ def bench_client(args, port):
     out["legacy_search_qps_seq"] = round(
         n_seq / (time.perf_counter() - t0), 1
     )
+
+    # legacy Search under CONCURRENCY (VERDICT r4 item 5): N independent
+    # b=1 clients — the server's SearchBatcher coalesces their in-flight
+    # RPCs into shared device launches. A migrated Go client fleet gets
+    # THIS number, not the sequential one.
+    for n_clients in (16, args.legacy_clients):
+        n_per = max(args.work // (n_clients * 8), 8)
+        errs: list = []
+        lats: list = []
+        lock = threading.Lock()
+
+        def lworker(w):
+            try:
+                my = []
+                for i in range(n_per):
+                    t1 = time.perf_counter()
+                    legacy(w * n_per + i)
+                    my.append(time.perf_counter() - t1)
+                with lock:
+                    lats.extend(my)
+            except Exception as exc:  # pragma: no cover
+                errs.append(exc)
+
+        threads = [
+            threading.Thread(target=lworker, args=(w,))
+            for w in range(n_clients)
+        ]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        if errs:
+            raise errs[0]
+        lats.sort()
+        row = {
+            "clients": n_clients,
+            "qps": round(len(lats) / wall, 1),
+            "p50_ms": round(lats[len(lats) // 2] * 1000, 1),
+            "p99_ms": round(lats[int(len(lats) * 0.99)] * 1000, 1),
+        }
+        out.setdefault("legacy_concurrent", []).append(row)
+        print(f"legacy concurrent: {row}", flush=True)
 
     def batch_req(i, b, f16):
         q = queries[(i * b) % max(len(queries) - b, 1) :][:b]
@@ -215,6 +259,7 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--port", type=int, default=0)
     ap.add_argument("--inflight", type=int, default=4)
+    ap.add_argument("--legacy-clients", type=int, default=64)
     ap.add_argument("--work", type=int, default=20480,
                     help="queries per measured config (sets iteration count)")
     ap.add_argument("--timeout", type=int, default=300,

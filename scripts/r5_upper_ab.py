@@ -146,6 +146,13 @@ run_mode("descent_beam2", {"SCNT_SEARCH_ENTRY": "descent",
                            "SCNT_SEARCH_EF_UPPER": "2"})
 run_mode("descent_beam4", {"SCNT_SEARCH_ENTRY": "descent",
                            "SCNT_SEARCH_EF_UPPER": "4"})
+# wider sub-batches amortize the descent's serial while-loop overhead
+run_mode("descent_beam4_b1024", {"SCNT_SEARCH_ENTRY": "descent",
+                                 "SCNT_SEARCH_EF_UPPER": "4",
+                                 "SCNT_SEARCH_SUBBATCH": "1024"})
+run_mode("descent_beam4_b4096", {"SCNT_SEARCH_ENTRY": "descent",
+                                 "SCNT_SEARCH_EF_UPPER": "4",
+                                 "SCNT_SEARCH_SUBBATCH": "4096"})
 run_mode("pivot_default", {})
 
 result["finished"] = time.strftime("%Y-%m-%dT%H:%M:%S")
