@@ -250,14 +250,17 @@ def _beam_step(
     # equality masks per step (dup-in-list + dup-in-block); at build
     # shapes (B=8192, K=128) those masks were ~200M bool lanes per step
     # and dominated the whole upper-build kernel. Instead: sort by
-    # (distance, packed slot). Copies of the same slot have the SAME
-    # distance, so they sort adjacent (equal-d groups are ordered by
-    # packed, and slot copies differ only in the flag bit); the flag bit
-    # is INVERTED in the key so a slot's EXPANDED copy sorts first within
-    # its duplicate group and survives — a re-proposed in-list member
-    # must keep its expansion flag or the loop would re-expand forever.
+    # (packed slot, distance) — slot-majority, so copies of the same slot
+    # are ALWAYS adjacent, even when their distances disagree (pivot/upper
+    # entry distances come from a different program than dist_to and can
+    # differ by ~1e-3: a distance-majority sort let re-proposed entry
+    # slots survive as duplicates and crowd the beam — measured 0.9956 ->
+    # 0.9866 recall@10 at 1M in pivot mode). The flag bit is INVERTED in
+    # the key so a slot's EXPANDED copy sorts first within its duplicate
+    # group and survives — a re-proposed in-list member must keep its
+    # expansion flag or the loop would re-expand forever.
     packed = (all_s << 1) | (1 - all_e.astype(jnp.int32))
-    sd, sp = jax.lax.sort((all_d, packed), num_keys=2)
+    sp, sd = jax.lax.sort((packed, all_d), num_keys=2)
     slot = sp >> 1
     dup = jnp.concatenate(
         [

@@ -54,6 +54,20 @@ def _query_f16() -> bool:
     return os.environ.get("SCNT_QUERY_F16", "0") == "1"
 
 
+def _query_upload_mode() -> str:
+    """Query upload dtype for the fused path: "f32" (default,
+    reference-exact distances), "f16" (half the bytes, ~1e-3 relative),
+    or "int8" (per-row symmetric quantization + f32 scale: 132 B/query at
+    D=128 — a further ~2x upload cut over f16 at ~4e-3 relative input
+    rounding; recall must be gated by the caller, as bench.py does).
+    SCNT_QUERY_DTYPE wins; SCNT_QUERY_F16=1 is the round-3 compat
+    spelling."""
+    mode = os.environ.get("SCNT_QUERY_DTYPE", "").lower()
+    if mode in ("f32", "f16", "int8"):
+        return mode
+    return "f16" if _query_f16() else "f32"
+
+
 def _sanitize_tps(
     tps: int, cap: int, dim: int = 128, elt_bytes: int = 2
 ) -> int:
@@ -397,13 +411,8 @@ class FlatIndex:
         from scintirete_tpu.index.device import DeviceGraph
 
         dtype = jnp.bfloat16 if self.device_dtype == "bfloat16" else jnp.float32
-        # fast-scan mode (f32 collections only): keep a bf16 copy for the
-        # full-corpus first pass and rerank candidates against the f32
-        # matrix — bf16 MXU rate with f32-exact returned distances. bf16
-        # collections already scan at the fast rate; no second copy needed.
         import jax
 
-        two_pass = self.fast_scan and dtype == jnp.float32
         cosine = self.metric == DistanceMetric.COSINE
         # int8 only where the fused kernel will consume it (large corpora
         # on TPU); below the crossover the XLA two-pass bf16 scan is
@@ -412,6 +421,16 @@ class FlatIndex:
             self.scan_dtype == "int8"
             and self.cap >= _FUSED_MIN_CAP
             and jax.default_backend() == "tpu"
+        )
+        # fast-scan mode: keep a narrow copy for the full-corpus first pass
+        # and rerank candidates against the "exact" matrix — scan-dtype MXU
+        # rate with f32-computed returned distances. f32 collections pair
+        # it with a bf16/int8 scan copy; bf16 collections (the int8-only
+        # HBM mode for 16M+ corpora — rerank reads the bf16 rows, cast to
+        # f32 per gathered candidate block) only need the extra copy in the
+        # int8 fused regime — below it they already scan at the fast rate.
+        two_pass = self.fast_scan and (
+            dtype == jnp.float32 or (dtype == jnp.bfloat16 and use_int8)
         )
 
         def scan_form(v: np.ndarray) -> np.ndarray:
@@ -550,7 +569,7 @@ class FlatIndex:
                 chunk = np.concatenate(
                     [queries, np.zeros((padded - B, self.dim), np.float32)]
                 )
-            up_dtype = jnp.float16 if _query_f16() else jnp.float32
+            mode = _query_upload_mode()
             # scan tiles folded per grid step: fewer/fatter steps cut the
             # per-step fixed overhead (~half the kernel wall at tps=1)
             tps = _sanitize_tps(
@@ -558,8 +577,16 @@ class FlatIndex:
                 self.dim,
                 elt_bytes=1 if a["scan"].dtype == jnp.int8 else 2,
             )
+            if mode == "int8":
+                q8, qsc = _quant8(chunk)
+                q_up = jnp.asarray(q8)
+                q_scale = jnp.asarray(qsc)
+            else:
+                up_dtype = jnp.float16 if mode == "f16" else jnp.float32
+                q_up = jnp.asarray(chunk, up_dtype)
+                q_scale = None
             d, s = flat_topk_fused(
-                jnp.asarray(chunk, up_dtype),
+                q_up,
                 a["scan"],
                 a["vectors"],
                 a["valid"],
@@ -569,6 +596,7 @@ class FlatIndex:
                 width=max(4 * k, 64),
                 base_scale=a.get("scan_scale"),
                 tps=tps,
+                query_scale=q_scale,
             )
             return self._pack_payload(B, k, [(0, B, d, s)])
         # an int8 scan copy is only usable by the fused kernel; elsewhere

@@ -110,7 +110,7 @@ def flat_topk(
     static_argnames=("metric", "k", "width", "interpret", "tps"),
 )
 def flat_topk_fused(
-    queries: jax.Array,  # [B, D] f32 (or f16 — cast up; halves upload bytes)
+    queries: jax.Array,  # [B, D] f32 (or f16/int8 — cast up; cuts upload bytes)
     scan_base: jax.Array,  # [N, D] bf16 or int8, pre-normalized for cosine
     exact_base: jax.Array,  # [N, D] f32 — rerank source
     valid: jax.Array,  # [N] bool — False for deleted/empty slots
@@ -121,6 +121,7 @@ def flat_topk_fused(
     base_scale: jax.Array | None = None,  # [N] f32, required for int8
     interpret: bool = False,
     tps: int = 1,  # scan tiles per grid step (N % (tps*LANES) == 0)
+    query_scale: jax.Array | None = None,  # [B] f32 — int8 query upload
 ) -> tuple[jax.Array, jax.Array]:
     """Exact search via the fused Pallas lane scan (ops/pallas_scan.py):
     one corpus-streaming pass selects ~2*LANES winners per query with the
@@ -135,6 +136,14 @@ def flat_topk_fused(
 
     B, D = queries.shape
     q32 = queries.astype(jnp.float32)
+    if query_scale is not None:
+        # int8 query upload (SCNT_QUERY_DTYPE=int8): queries arrive as
+        # per-row symmetric int8 + f32 scale (132 B/query at D=128 vs 256
+        # f16 / 512 f32 — upload is the dominant serving cost over a
+        # tunneled chip). Dequantize on device; ~0.4% relative input
+        # rounding, absorbed the same way as f16 (rank decided at f32-dot
+        # precision of the rounded query; recall is gated by the bench).
+        q32 = q32 * query_scale[:, None]
     invalid = 1.0 - valid.astype(jnp.float32)  # kernels mask on 1.0
     if metric == int(DistanceMetric.COSINE):
         qn = jnp.sqrt(jnp.sum(q32 * q32, axis=1, keepdims=True))
@@ -170,7 +179,11 @@ def flat_topk_fused(
     _, sel = jax.lax.approx_min_k(lane_d, width, recall_target=0.99)
     ti = jnp.take_along_axis(lane_i, sel, axis=1)  # [B, W] rows (-1 empty)
 
-    cand = exact_base[jnp.maximum(ti, 0)]  # [B, W, D] f32
+    # rerank source may be bf16 (int8-only HBM mode: FlatIndex
+    # device_dtype="bfloat16" drops the f32 corpus copy at 16M+ scale);
+    # compute exact distances in f32 regardless — only the gathered
+    # [B, W, D] candidate block is cast, not the corpus
+    cand = exact_base[jnp.maximum(ti, 0)].astype(jnp.float32)
     dots = jnp.einsum(
         "bd,bwd->bw", q32, cand,
         preferred_element_type=jnp.float32,
@@ -221,7 +234,7 @@ def flat_topk_rerank(
         queries, scan_base, valid, metric, width, base_sq_norms,
         recall_target=recall_target, tile=tile,
     )  # [B, W] candidate slots (-1 padded)
-    cand = exact_base[jnp.maximum(ti, 0)]  # [B, W, D] f32
+    cand = exact_base[jnp.maximum(ti, 0)].astype(jnp.float32)  # [B, W, D]
     q32 = queries.astype(jnp.float32)
     dots = jnp.einsum(
         "bd,bwd->bw", q32, cand,

@@ -3,9 +3,11 @@ A/B of batch width x pipeline depth x query dtype on the real TPU.
 
 Round-4 state: 37.5k e2e gated QPS at B=4096 depth 3 vs 668k device-only —
 the gap is tunnel round trips, not kernel. The levers measured here:
-  - batch width B in {4096, 8192, 16384}: RT overhead amortizes over B
-  - pipeline depth in {3, 4, 6}
-  - query upload dtype f16 (round-4 default) — f32 control
+  - batch width B in {4096, 8192, 16384, 32768}: RT amortizes over B
+  - pipeline depth in {3, 6}
+  - query upload dtype: f16 (round-4 default), int8+scale (new: 132
+    B/query at D=128 — the upload is the dominant tunnel cost), f32
+    control
 
 Gate: >= 60k gated QPS at 1M (recall >= 0.95).
 
@@ -94,13 +96,15 @@ params = SearchParams(top_k=K)
 os.environ["SCNT_SCAN_TPS"] = "4"
 TOTAL = 98304  # queries per measured config (~6 x 16384)
 
-for f16 in (True, False):
-    os.environ["SCNT_QUERY_F16"] = "1" if f16 else "0"
-    for B in (4096, 8192, 16384):
-        batches = [queries[i % NQ : i % NQ + B]
-                   if (i % NQ) + B <= NQ else
-                   np.concatenate([queries[i % NQ :],
-                                   queries[: (i % NQ) + B - NQ]])
+for dtype in ("f16", "int8", "f32"):
+    os.environ["SCNT_QUERY_DTYPE"] = dtype
+    for B in (4096, 8192, 16384, 32768):
+        qsrc = queries if B <= NQ else np.concatenate([queries, queries])
+        nq = len(qsrc)
+        batches = [qsrc[i % nq : i % nq + B]
+                   if (i % nq) + B <= nq else
+                   np.concatenate([qsrc[i % nq :],
+                                   qsrc[: (i % nq) + B - nq]])
                    for i in range(0, TOTAL, B)]
         batches = [b for b in batches if len(b) == B]
         flat.search_batch(batches[0], params)  # warm shape
@@ -110,7 +114,7 @@ for f16 in (True, False):
             wall = time.time() - t0
             qps = len(batches) * B / wall
             rec = recall_of(outs[0])
-            row = {"dtype": "f16" if f16 else "f32", "B": B,
+            row = {"dtype": dtype, "B": B,
                    "depth": depth, "qps": round(qps, 1),
                    "recall_at_10_firstbatch": round(rec, 4)}
             result["rows"].append(row)

@@ -360,6 +360,57 @@ class TestBfloat16Storage:
         assert hits / total >= 0.85  # small bf16 rounding loss allowed
 
 
+class TestBeamStepDedup:
+    def test_dedup_despite_entry_distance_mismatch(self):
+        """Entry distances come from a different program than the beam's
+        dist_to (pivot kernel / upper-layer walk) and can disagree by
+        ~1e-3. The sort-based dedup must still collapse a re-proposed
+        in-list slot — a distance-majority sort let such copies survive
+        and crowd the beam (recall 0.9956 -> 0.9866 at 1M, round-5
+        regression)."""
+        import jax.numpy as jnp
+
+        from scintirete_tpu.index.device import _beam_step
+
+        # true distances: slot0=1.0, slot2=1.0005 (INTERLEAVES between the
+        # two slot-0 copies under a distance-majority sort), slot1=2.0
+        xs = jnp.asarray(
+            [1.0, 2.0, 1.0005, 4.0, 5.0, 6.0, 7.0, 8.0], jnp.float32
+        )
+
+        def dist_to(slots):
+            return xs[slots]
+
+        deleted = jnp.zeros(8, bool)
+        # slot 0 <-> slot 1 mutual neighbors: expanding 1 re-proposes 0
+        # (alongside slot 2, whose distance falls between the entry's
+        # perturbed slot-0 distance and the re-proposal's true one)
+        neighbors0 = jnp.asarray(
+            [[1, -1]] + [[0, 2]] + [[-1, -1]] * 6, jnp.int32
+        )
+        ef = 4
+        # entry: slot 0 with a PERTURBED distance (1e-3 relative off)
+        cand_s = jnp.asarray([[0, -1, -1, -1]], jnp.int32)
+        cand_d = jnp.asarray([[1.001, np.inf, np.inf, np.inf]], jnp.float32)
+        expanded = jnp.zeros((1, ef), bool)
+        active = jnp.ones(1, bool)
+        for _ in range(2):  # step 1: expand 0 -> propose 1; step 2: 1 -> 0,2
+            cand_s, cand_d, expanded = _beam_step(
+                dist_to, deleted, cand_s, cand_d, expanded,
+                rows_of_slots=lambda s: s,
+                nbr_lookup=lambda rows: neighbors0[rows],
+                active=active, expand=1,
+            )
+        s = np.asarray(cand_s[0])
+        e = np.asarray(expanded[0])
+        live = s[s >= 0]
+        assert len(set(live.tolist())) == len(live), f"duplicate slots: {s}"
+        assert set(live.tolist()) == {0, 1, 2}
+        # the surviving slot-0 copy must keep its expanded flag, or the
+        # beam would re-expand it forever
+        assert all(e[i] for i in range(len(s)) if s[i] in (0, 1)), (s, e)
+
+
 class TestPivotEntry:
     """MXU pivot entry vs the reference-style hierarchical descent."""
 

@@ -188,6 +188,83 @@ class TestFusedTopK:
             )
 
     @pytest.mark.parametrize("metric", [L2, COS, IP])
+    def test_int8_scan_bf16_rerank(self, rng, metric):
+        """int8-only HBM mode (FlatIndex device_dtype="bfloat16" at 16M+
+        scale): the rerank source is the bf16 corpus copy instead of f32.
+        Ranking must hold; returned distances deviate only by bf16 input
+        rounding (~0.4% relative)."""
+        from scintirete_tpu.index.flat import _quant8
+        from scintirete_tpu.ops.distance import distance_np
+
+        B, D, N, k = 16, 24, 2 * LANES, 10
+        q = rng.standard_normal((B, D)).astype(np.float32)
+        base = rng.standard_normal((N, D)).astype(np.float32)
+        if metric == COS:
+            scan = base / np.linalg.norm(base, axis=1, keepdims=True)
+            scan_sq = np.ones(N, np.float32)
+        else:
+            scan = base
+            scan_sq = np.sum(base * base, axis=1).astype(np.float32)
+        q8, sc = _quant8(scan)
+
+        d, s = flat_topk_fused(
+            jnp.asarray(q), jnp.asarray(q8),
+            jnp.asarray(base, jnp.bfloat16),  # bf16 rerank source
+            jnp.ones(N, bool), metric, k, jnp.asarray(scan_sq),
+            base_scale=jnp.asarray(sc), interpret=True,
+        )
+        d, s = np.asarray(d), np.asarray(s)
+        assert d.dtype == np.float32
+        ref = distance_np(q, base, DistanceMetric(metric)).astype(np.float32)
+        true_i = np.argsort(ref, axis=1, kind="stable")[:, :k]
+        hits = sum(
+            len(set(s[b].tolist()) & set(true_i[b].tolist())) for b in range(B)
+        )
+        assert hits / (B * k) >= 0.95
+        for b in range(B):
+            np.testing.assert_allclose(
+                d[b], ref[b, s[b]], rtol=2e-2, atol=2e-2
+            )
+
+    @pytest.mark.parametrize("metric", [L2, COS, IP])
+    def test_int8_query_upload(self, rng, metric):
+        """SCNT_QUERY_DTYPE=int8 contract: int8-quantized queries with a
+        per-row f32 scale keep recall and land within ~1e-2 relative of
+        the exact distances (input rounding only; the kernel dequantizes
+        and reranks in f32)."""
+        from scintirete_tpu.index.flat import _quant8
+        from scintirete_tpu.ops.distance import distance_np
+
+        B, D, N, k = 16, 24, 2 * LANES, 10
+        q = rng.standard_normal((B, D)).astype(np.float32)
+        base = rng.standard_normal((N, D)).astype(np.float32)
+        if metric == COS:
+            scan = base / np.linalg.norm(base, axis=1, keepdims=True)
+            scan_sq = np.ones(N, np.float32)
+        else:
+            scan = base
+            scan_sq = np.sum(base * base, axis=1).astype(np.float32)
+        q8, qsc = _quant8(q)
+
+        d, s = flat_topk_fused(
+            jnp.asarray(q8), jnp.asarray(scan, jnp.bfloat16),
+            jnp.asarray(base), jnp.ones(N, bool), metric, k,
+            jnp.asarray(scan_sq), interpret=True,
+            query_scale=jnp.asarray(qsc),
+        )
+        d, s = np.asarray(d), np.asarray(s)
+        ref = distance_np(q, base, DistanceMetric(metric)).astype(np.float32)
+        true_i = np.argsort(ref, axis=1, kind="stable")[:, :k]
+        hits = sum(
+            len(set(s[b].tolist()) & set(true_i[b].tolist())) for b in range(B)
+        )
+        assert hits / (B * k) >= 0.95
+        for b in range(B):
+            np.testing.assert_allclose(
+                d[b], ref[b, s[b]], rtol=2e-2, atol=2e-2
+            )
+
+    @pytest.mark.parametrize("metric", [L2, COS, IP])
     def test_f16_query_upload(self, rng, metric):
         """SCNT_QUERY_F16 contract: f16-uploaded queries keep full recall
         and land within ~1e-3 relative of the exact f32 distances (the
