@@ -602,6 +602,13 @@ def run_scale(n, rng):
                 idx, queries, true_i, (EF_SEARCH,), f"n={n} descent",
                 passes=1,
             )[0]
+            # mid-layer entry is the shipped descent default
+            # (SCNT_DESCENT_MID=1; device.py _search_kernel_mid) — record
+            # the knob so artifacts distinguish it from the pure top-down
+            # reference walk
+            out["descent"]["mid_entry"] = (
+                os.environ.get("SCNT_DESCENT_MID", "1") == "1"
+            )
         finally:
             for k_, v_ in saved.items():
                 (os.environ.pop(k_, None) if v_ is None

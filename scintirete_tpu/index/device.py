@@ -178,13 +178,27 @@ def _fused_beam_descent(
     candidate paths keep alternatives alive and hand layer 0 ef_upper
     entries instead of one."""
     B = cur.shape[0]
-    expand = min(expand, ef_upper)
     cand_s = jnp.concatenate(
         [cur[:, None], jnp.full((B, ef_upper - 1), -1, jnp.int32)], axis=1
     )
     cand_d = jnp.concatenate(
         [cur_d[:, None], jnp.full((B, ef_upper - 1), _INF)], axis=1
     )
+    return _fused_beam_descent_lists(
+        dist_to, up_nbrs_cat, up_rows_flat, cap, deleted,
+        cand_s, cand_d, lvl, max_iters, expand,
+    )
+
+
+def _fused_beam_descent_lists(
+    dist_to, up_nbrs_cat, up_rows_flat, cap, deleted,
+    cand_s, cand_d, lvl, max_iters, expand,
+):
+    """Beam descent seeded with full candidate LISTS (mid-layer entry hands
+    ef_upper entries at once; _fused_beam_descent wraps this for the
+    single-entry top-down walk)."""
+    B, ef_upper = cand_s.shape
+    expand = min(expand, ef_upper)
     expanded = jnp.zeros((B, ef_upper), bool)
 
     def cond(st):
@@ -525,6 +539,106 @@ def _search_kernel(
     return out_d, out_s, steps
 
 
+def _entry_scan_xla(q32, q_sq, q_norm, vecs, sq, metric):
+    """[B, R] comparison-form distances of every query against R candidate
+    rows in one dot_general (the XLA pivot-scan formula)."""
+    dots = jax.lax.dot_general(
+        q32,
+        vecs.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if metric == _IP:
+        return -dots
+    if metric == _L2:
+        return q_sq[:, None] + sq[None, :] - 2.0 * dots
+    denom = q_norm[:, None] * jnp.sqrt(sq)[None, :]
+    cos = jnp.where(denom > 1e-30, dots / jnp.maximum(denom, 1e-30), 0.0)
+    cos = jnp.clip(cos, -1.0, 1.0)
+    zero = (q_sq[:, None] <= 1e-30) | (sq[None, :] <= 1e-30)
+    return jnp.where(zero, 1.0, 1.0 - cos)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "ef", "k", "max_steps", "expand", "ef_upper"),
+)
+def _search_kernel_mid(
+    queries,  # [B, D] f32
+    vectors,  # [cap, D] f32/bf16
+    sq_norms,  # [cap] f32
+    deleted,  # [cap] bool
+    neighbors0,  # [cap, 2M] i32
+    up_nbrs_cat,  # [R_total, M] i32
+    up_rows_flat,  # [L * cap] i32
+    mid_slots,  # [R] i32 — members of layer mid_level (-1 padded)
+    mid_level,  # scalar i32 (dynamic: layer growth must not recompile)
+    metric: int,
+    ef: int,
+    k: int,
+    max_steps: int,
+    expand: int = SEARCH_EXPAND,
+    ef_upper: int = 4,
+):
+    """Hierarchical mid-layer entry for descent serving: exact-scan the
+    members of the highest layer that fits one MXU pass (~n/128 nodes at
+    the default cap), hand the best ef_upper to the beam descent, and walk
+    only the remaining mid_level-1 layers down to the layer-0 ef beam.
+
+    Routing still comes from the graph hierarchy alone (layer membership +
+    upper adjacency — no auxiliary pivot table); per-layer semantics match
+    the reference's searchLayer descent (hnsw.go:309-311). The entry is the
+    TRUE nearest layer-l* member instead of wherever the top-down walk
+    lands at l* — strictly better routing than the walk it replaces, at
+    ~1/3 of its serial while-loop steps (the descent-mode QPS wall over a
+    tunneled chip)."""
+    B = queries.shape[0]
+    cap = vectors.shape[0]
+    q32 = queries.astype(jnp.float32)
+    q_sq = jnp.sum(q32 * q32, axis=-1)
+    q_norm = jnp.sqrt(q_sq)
+    dist_to = _make_dist_fn(queries, vectors, sq_norms, metric)
+
+    safe = jnp.maximum(mid_slots, 0)
+    bad = (mid_slots < 0) | deleted[safe]
+    pdist = _entry_scan_xla(
+        q32, q_sq, q_norm, vectors[safe], sq_norms[safe], metric
+    )
+    pdist = jnp.where(bad[None, :], _INF, pdist)
+    kk = min(ef_upper, mid_slots.shape[0])
+    neg, sel = jax.lax.top_k(-pdist, kk)
+    ent_d = -neg  # [B, kk]
+    ent_s = jnp.where(jnp.isfinite(ent_d), mid_slots[sel], -1)
+    if kk < ef_upper:
+        ent_s = jnp.pad(ent_s, ((0, 0), (0, ef_upper - kk)),
+                        constant_values=-1)
+        ent_d = jnp.pad(ent_d, ((0, 0), (0, ef_upper - kk)),
+                        constant_values=_INF)
+    lvl = jnp.full((B,), jnp.maximum(mid_level - 1, 0), jnp.int32)
+    if ef_upper <= 1:
+        cur, cur_d = _fused_greedy(
+            dist_to, up_nbrs_cat, up_rows_flat, cap, deleted,
+            ent_s[:, 0], ent_d[:, 0], lvl, jnp.zeros((B,), jnp.int32),
+            max_iters=16 * 64,
+        )
+        entries_s, entries_d = cur[:, None], cur_d[:, None]
+    else:
+        entries_s, entries_d = _fused_beam_descent_lists(
+            dist_to, up_nbrs_cat, up_rows_flat, cap, deleted,
+            ent_s, ent_d, lvl, max_iters=16 * 64, expand=expand,
+        )
+
+    cand_s, cand_d, steps = _ef_beam_layer0(
+        dist_to, neighbors0, deleted, entries_s, entries_d, ef,
+        max_steps, expand=expand,
+    )
+    out_d = _finalize(cand_d[:, :k], metric)
+    out_s = cand_s[:, :k]
+    out_d = jnp.where(out_s < 0, _INF, out_d)
+    return out_d, out_s, steps
+
+
 # ---------------------------------------------------------------------------
 # build-descent kernel (the insert path against a frozen graph)
 # ---------------------------------------------------------------------------
@@ -773,6 +887,32 @@ def pivot_sample_host(store: GraphStore) -> dict[str, Any]:
     }
 
 
+def mid_layer_host(store: GraphStore) -> dict[str, Any]:
+    """Mid-entry layer for hierarchical descent serving: the LOWEST upper
+    layer whose member count fits one cheap MXU pass (<=
+    SCNT_DESCENT_MID_CAP, default 8192 — ~2 MB of gathered vectors, ~1/128
+    of a 1M corpus). Scanning its members exactly and descending only the
+    layers below replaces ~log2(N) serial walk layers with one matmul +
+    ~log2(cap_env) layers. Members are filtered to the PUBLISHED watermark
+    (same rule as pivot_sample_host — an unlinked member would be a
+    dead-end entry). Returns {} when no upper layer qualifies (descent
+    then walks from the top entrypoint as before)."""
+    cap_env = int(os.environ.get("SCNT_DESCENT_MID_CAP", 8192))
+    n_pub = max(store.linked_count, 1)
+    for l, ls in enumerate(store.layers, start=1):
+        if ls.count == 0 or ls.count > cap_env:
+            continue
+        members = ls.node_slot[: ls.count]
+        members = members[(members >= 0) & (members < n_pub)]
+        if members.size == 0:
+            continue
+        R = _pad_pow2(int(members.size))
+        arr = np.full(R, -1, np.int32)
+        arr[: members.size] = members
+        return {"mid_slots": arr, "mid_level": l}
+    return {}
+
+
 # ---------------------------------------------------------------------------
 # device mirror
 # ---------------------------------------------------------------------------
@@ -791,6 +931,7 @@ class DeviceGraph:
         self._version = -1
         self._shape_sig: Any = None
         self._pivot_count = 0
+        self.mid_level = 0  # 0 = no mid-entry layer (see mid_layer_host)
         self.arrays: dict[str, Any] = {}
         self._offsets: list[int] = []
         # concurrent READERS of an index may both hit the lazy sync; the
@@ -835,6 +976,8 @@ class DeviceGraph:
                     self.arrays["up_rows_flat"] = jnp.asarray(rows)
                     dirty["layers"].clear()
                     dirty["layer_rows"].clear()
+                    self.arrays.pop("mid_slots", None)
+                    self.arrays.update(self._mid_arrays(store))
                     self._incremental(store, dirty)
                 else:
                     self._incremental(store, dirty)
@@ -857,6 +1000,11 @@ class DeviceGraph:
         self._pivot_count = host.pop("n_pub")
         return {k: jnp.asarray(v) for k, v in host.items()}
 
+    def _mid_arrays(self, store: GraphStore) -> dict[str, Any]:
+        host = mid_layer_host(store)
+        self.mid_level = int(host.pop("mid_level", 0))
+        return {k: jnp.asarray(v) for k, v in host.items()}
+
     def _full_upload(self, store: GraphStore) -> None:
         vecs = store.vectors
         cat, rows = self._cat_tables(store)
@@ -870,6 +1018,7 @@ class DeviceGraph:
             "up_nbrs_cat": jnp.asarray(cat),
             "up_rows_flat": jnp.asarray(rows),
             **self._pivot_arrays(store),
+            **self._mid_arrays(store),
         }
 
     @staticmethod
@@ -895,6 +1044,12 @@ class DeviceGraph:
         # (small) pivot arrays whenever the live prefix has outgrown them
         if store.linked_count > self._pivot_count + max(self._pivot_count // 4, 16):
             a.update(self._pivot_arrays(store))
+        # mid-entry layer membership changed (appends draw upper levels):
+        # the mid table is tiny (<=8k i32), so refresh on any layer-row
+        # dirt rather than tracking the specific layer
+        if dirty["layer_rows"]:
+            a.pop("mid_slots", None)
+            a.update(self._mid_arrays(store))
         if dirty["vectors"]:
             rows = np.fromiter(dirty["vectors"], np.int32, len(dirty["vectors"]))
             a["vectors"] = self._scatter_into(
@@ -1097,6 +1252,32 @@ class DeviceIndex:
                     max_steps=max_steps,
                     expand=expand,
                     use_pallas=use_pallas,
+                )
+            elif (
+                os.environ.get("SCNT_DESCENT_MID", "1") == "1"
+                and "mid_slots" in a
+                and self.graph.mid_level >= 1
+            ):
+                # hierarchical mid-layer entry: one MXU pass over the
+                # members of the highest small-enough layer replaces the
+                # top-down walk's first ~log2(N/8k) serial layers
+                # (SCNT_DESCENT_MID=0 restores the pure reference walk)
+                d, s, _ = _search_kernel_mid(
+                    jnp.asarray(chunk, up_dtype),
+                    a["vectors"],
+                    a["sq_norms"],
+                    a["deleted"],
+                    a["neighbors0"],
+                    a["up_nbrs_cat"],
+                    a["up_rows_flat"],
+                    a["mid_slots"],
+                    jnp.int32(self.graph.mid_level),
+                    metric=int(store.metric),
+                    ef=ef,
+                    k=k,
+                    max_steps=max_steps,
+                    expand=expand,
+                    ef_upper=ef_upper,
                 )
             else:
                 d, s, _ = _search_kernel(

@@ -1446,8 +1446,15 @@ def build(
     # batched doubling rounds. Layer 0, whose edges only need to serve a
     # multi-entry ef-beam, keeps the exact-kNN bulk constructor and the
     # configured selection rule (hnsw.go:560-583 simple selection).
+    # SCNT_UPPER_MODE=knn swaps the sequential upper build for the exact-
+    # kNN one (the round-4 constructor): ~50% faster end-to-end at 1M but
+    # its single-scale upper edges misroute a TOP-DOWN walker at >=1M
+    # (recall 0.75 — benchmarks/results_round4.md §3). Pair it ONLY with
+    # mid-layer-entry serving (SCNT_DESCENT_MID, the default), which
+    # enters below the misrouting region via an exact member scan.
+    upper_mode = os.environ.get("SCNT_UPPER_MODE", "seq")
     upper_adj: dict[int, np.ndarray] = {}
-    if max_level >= 1:
+    if max_level >= 1 and upper_mode != "knn":
         with _phase("upper_seq"):
             upper_adj = _build_upper_sequential(
                 ctx, levels[order].astype(np.int32), store.m
@@ -1458,8 +1465,17 @@ def build(
         max_deg = store.m0 if l == 0 else store.m
         heuristic = heuristic0 if l == 0 else True
         members = order[:nm]  # member slots of this layer, base order
-        if l >= 1:
+        if l >= 1 and l in upper_adj:
             adj = upper_adj[l]
+        elif l >= 1 and nm <= 1:
+            adj = np.full((nm, max_deg), -1, np.int32)
+        elif l >= 1 and nm <= HOST_LAYER_MAX:
+            adj = _build_layer_host(
+                vectors[members], metric, max_deg,
+                min(KNN_CANDIDATES, 4 * store.m), heuristic,
+            )
+        elif l >= 1:
+            adj = _layer_adj(ctx, nm, max_deg, heuristic)
         elif nm <= 1:
             adj = np.full((nm, max_deg), -1, np.int32)
         elif nm <= HOST_LAYER_MAX:

@@ -411,6 +411,89 @@ class TestBeamStepDedup:
         assert all(e[i] for i in range(len(s)) if s[i] in (0, 1)), (s, e)
 
 
+class TestMidLayerEntry:
+    """Hierarchical mid-layer entry (SCNT_DESCENT_MID): descent serving
+    enters at the best member of the highest MXU-scannable layer instead
+    of walking from the top — routing still uses only graph structure."""
+
+    def _build(self, rng, n=3000, dim=16):
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        idx = HNSWIndex(
+            dim=dim,
+            params=HNSWParams(m=8, ef_construction=80, ef_search=60, seed=5),
+            metric=DistanceMetric.L2,
+            use_device=True,
+        )
+        idx.bulk_insert(list(range(1, n + 1)), vecs)
+        return idx, vecs
+
+    def test_mid_matches_pure_descent(self, rng, monkeypatch):
+        monkeypatch.setenv("SCNT_DESCENT_MID_CAP", "256")  # force l* >= 2
+        monkeypatch.setenv("SCNT_SEARCH_EF_UPPER", "4")
+        idx, vecs = self._build(rng)
+        from scintirete_tpu.index.device import mid_layer_host
+
+        mid = mid_layer_host(idx.store)
+        assert mid and mid["mid_level"] >= 2, "corpus too small for the test"
+        queries = rng.standard_normal((32, 16)).astype(np.float32)
+        dev = idx._get_device()
+        monkeypatch.setenv("SCNT_DESCENT_MID", "0")
+        s_ref, _ = dev.search(idx.store, queries, 10, 60,
+                              entry_mode="descent")
+        monkeypatch.setenv("SCNT_DESCENT_MID", "1")
+        s_mid, d_mid = dev.search(idx.store, queries, 10, 60,
+                                  entry_mode="descent")
+        from scintirete_tpu.ops.distance import distance_np
+
+        want = distance_np(queries, vecs, DistanceMetric.L2)
+        true_i = np.argsort(want, axis=1)[:, :10]
+        hits_ref = hits_mid = 0
+        for b in range(32):
+            t = set(true_i[b].tolist())
+            hits_ref += len(t & set(s_ref[b][s_ref[b] >= 0].tolist()))
+            hits_mid += len(t & set(s_mid[b][s_mid[b] >= 0].tolist()))
+            dd = d_mid[b][s_mid[b] >= 0]
+            assert np.all(np.diff(dd) >= -1e-6)  # sorted
+        # the exact best-of-layer entry can only route as well or better
+        # than arriving at that layer from above
+        assert hits_mid >= hits_ref - 2, (hits_mid, hits_ref)
+        assert hits_mid / 320 >= 0.9
+
+    def test_knn_upper_mode_with_mid_entry(self, rng, monkeypatch):
+        """SCNT_UPPER_MODE=knn (round-4 exact-kNN upper layers, ~2x faster
+        1M builds) must pair with mid-entry serving and hold recall."""
+        monkeypatch.setenv("SCNT_UPPER_MODE", "knn")
+        monkeypatch.setenv("SCNT_DESCENT_MID", "1")
+        monkeypatch.setenv("SCNT_SEARCH_EF_UPPER", "4")
+        monkeypatch.setenv("SCNT_SEARCH_ENTRY", "descent")
+        idx, vecs = self._build(rng, n=2000)
+        queries = rng.standard_normal((32, 16)).astype(np.float32)
+        res = idx.search_batch(queries, SearchParams(top_k=10, ef_search=60))
+        from scintirete_tpu.ops.distance import distance_np
+
+        want = distance_np(queries, vecs, DistanceMetric.L2)
+        true_ids = np.argsort(want, axis=1)[:, :10] + 1
+        hits = sum(
+            len(set(true_ids[b].tolist()) & {r[0] for r in res[b]})
+            for b in range(32)
+        )
+        assert hits / 320 >= 0.9
+
+    def test_mid_excludes_deleted(self, rng, monkeypatch):
+        monkeypatch.setenv("SCNT_DESCENT_MID_CAP", "256")
+        monkeypatch.setenv("SCNT_SEARCH_EF_UPPER", "4")
+        monkeypatch.setenv("SCNT_DESCENT_MID", "1")
+        idx, vecs = self._build(rng, n=1500)
+        dead = {3, 10, 77, 500, 1200}
+        for vid in dead:
+            idx.delete(vid)
+        dev = idx._get_device()
+        s, _ = dev.search(idx.store, vecs[:16], 10, 60, entry_mode="descent")
+        for b in range(16):
+            got = {int(x) + 1 for x in s[b][s[b] >= 0]}  # slots are id-1
+            assert not (dead & got)
+
+
 class TestPivotEntry:
     """MXU pivot entry vs the reference-style hierarchical descent."""
 
