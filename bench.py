@@ -397,6 +397,7 @@ def run_scale(n, rng):
     build_s = time.time() - t0
     out["build_seconds"] = round(build_s, 1)
     out["build_vecs_per_s"] = round(n / build_s, 1)
+    out["upper_mode"] = os.environ.get("SCNT_UPPER_MODE", "knn")
     log(f"n={n}: build {build_s:.1f}s ({n / build_s:.0f} vec/s)")
 
     true_i = ground_truth(queries, base, int(DistanceMetric.COSINE), K)

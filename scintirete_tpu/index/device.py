@@ -932,6 +932,7 @@ class DeviceGraph:
         self._shape_sig: Any = None
         self._pivot_count = 0
         self.mid_level = 0  # 0 = no mid-entry layer (see mid_layer_host)
+        self._mid_cap = -1  # SCNT_DESCENT_MID_CAP the mid table was built at
         self.arrays: dict[str, Any] = {}
         self._offsets: list[int] = []
         # concurrent READERS of an index may both hit the lazy sync; the
@@ -951,7 +952,14 @@ class DeviceGraph:
 
     def sync(self, store: GraphStore) -> None:
         with self._sync_mu:
+            cap_env = int(os.environ.get("SCNT_DESCENT_MID_CAP", 8192))
             if store.version == self._version:
+                # the mid-entry cap knob changed since the mirror synced
+                # (A/B scripts flip it between serving modes): re-derive
+                # the tiny mid table without touching anything else
+                if cap_env != self._mid_cap and self.arrays:
+                    self.arrays.pop("mid_slots", None)
+                    self.arrays.update(self._mid_arrays(store))
                 return
             sig = self._signature(store)
             dirty = store.take_dirty()
@@ -1003,6 +1011,7 @@ class DeviceGraph:
     def _mid_arrays(self, store: GraphStore) -> dict[str, Any]:
         host = mid_layer_host(store)
         self.mid_level = int(host.pop("mid_level", 0))
+        self._mid_cap = int(os.environ.get("SCNT_DESCENT_MID_CAP", 8192))
         return {k: jnp.asarray(v) for k, v in host.items()}
 
     def _full_upload(self, store: GraphStore) -> None:

@@ -1446,13 +1446,25 @@ def build(
     # batched doubling rounds. Layer 0, whose edges only need to serve a
     # multi-entry ef-beam, keeps the exact-kNN bulk constructor and the
     # configured selection rule (hnsw.go:560-583 simple selection).
-    # SCNT_UPPER_MODE=knn swaps the sequential upper build for the exact-
-    # kNN one (the round-4 constructor): ~50% faster end-to-end at 1M but
-    # its single-scale upper edges misroute a TOP-DOWN walker at >=1M
-    # (recall 0.75 — benchmarks/results_round4.md §3). Pair it ONLY with
-    # mid-layer-entry serving (SCNT_DESCENT_MID, the default), which
-    # enters below the misrouting region via an exact member scan.
-    upper_mode = os.environ.get("SCNT_UPPER_MODE", "seq")
+    # Upper-layer constructor choice (SCNT_UPPER_MODE):
+    #   knn (default) — exact-kNN per layer (the round-4 constructor).
+    #     ~2.6x faster end-to-end at 1M (253 s vs 310 s in one window,
+    #     118-175 s in round-4 windows), but its single-scale upper edges
+    #     misroute a pure TOP-DOWN walker at >=1M (recall 0.75 —
+    #     benchmarks/results_round4.md §3). The DEFAULT descent serving
+    #     (mid-layer entry, device._search_kernel_mid) enters below the
+    #     misrouting region via an exact member scan and measures 0.9947
+    #     recall @ 1M on this build (benchmarks/upper_knn_1000000.json),
+    #     so the fast constructor costs nothing under any shipped
+    #     serving mode.
+    #   seq — sequential-semantics construction of the tiny upper layers
+    #     (~6% of nodes) by greedy/beam descent against the already-built
+    #     graph, matching the reference's insert-time edge selection
+    #     (hnsw.go:190-257) at batch granularity. A pure top-down walker
+    #     (SCNT_DESCENT_MID=0) routes on THESE uppers (beam4 recall
+    #     0.9946 @ 1M — benchmarks/upper_seq_1000000.json); use it when
+    #     reference-walk fidelity matters more than build wall.
+    upper_mode = os.environ.get("SCNT_UPPER_MODE", "knn")
     upper_adj: dict[int, np.ndarray] = {}
     if max_level >= 1 and upper_mode != "knn":
         with _phase("upper_seq"):

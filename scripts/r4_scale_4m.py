@@ -207,6 +207,59 @@ def s4_hnsw_sweep():
         result["hnsw_ef"] = best["ef"]
 
 
+def s4b_entry_modes():
+    """Round-5 VERDICT item 1 at scale: descent serving (graph-only
+    routing — mid-layer entry + beam descent, no pivot table) vs the
+    pivot default, on the SAME graph in one process. Gate at 8M:
+    descent recall@10 >= 0.95 at >= 50% of pivot QPS."""
+    ef = result.get("hnsw_ef", 16)
+    modes = [
+        ("descent_greedy_mid", {"SCNT_SEARCH_ENTRY": "descent",
+                                "SCNT_SEARCH_EF_UPPER": "1",
+                                "SCNT_DESCENT_MID": "1",
+                                "SCNT_SEARCH_SUBBATCH": "1024"}),
+        ("descent_beam4_mid", {"SCNT_SEARCH_ENTRY": "descent",
+                               "SCNT_SEARCH_EF_UPPER": "4",
+                               "SCNT_DESCENT_MID": "1",
+                               "SCNT_SEARCH_SUBBATCH": "1024"}),
+        ("descent_beam4_walk", {"SCNT_SEARCH_ENTRY": "descent",
+                                "SCNT_SEARCH_EF_UPPER": "4",
+                                "SCNT_DESCENT_MID": "0",
+                                "SCNT_SEARCH_SUBBATCH": "1024"}),
+        # hedge at 8M: enter one layer lower (l*=2, ~31k members — one
+        # [B, 32k] MXU pass, still graph-membership routing) so only the
+        # layer-1 edges are walked
+        ("descent_beam4_mid_cap32k", {"SCNT_SEARCH_ENTRY": "descent",
+                                      "SCNT_SEARCH_EF_UPPER": "4",
+                                      "SCNT_DESCENT_MID": "1",
+                                      "SCNT_DESCENT_MID_CAP": "32768",
+                                      "SCNT_SEARCH_SUBBATCH": "1024"}),
+    ]
+    rows = []
+    for label, env in modes:
+        saved = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            sp = SearchParams(top_k=K, ef_search=ef)
+            hidx.search_batch(queries, sp)  # warm under this env
+            t0 = time.time()
+            outs = hidx.search_batch_pipelined([queries] * 3, sp, depth=3)
+            per = (time.time() - t0) / 3
+            rec = recall_of(outs[-1])
+            rows.append({"mode": label, "ef": ef,
+                         "recall_at_10": round(rec, 4),
+                         "qps": round(NQ / per, 1)})
+            print(f"{label} ef={ef}: recall={rec:.4f} {NQ/per:.0f} QPS",
+                  flush=True)
+        finally:
+            for k, v in saved.items():
+                os.environ.pop(k, None) if v is None else os.environ.update(
+                    {k: v}
+                )
+        result["entry_modes"] = rows
+        flush()
+
+
 def s5_flat_serving():
     knobs = {"SCNT_QUERY_F16": "1", "SCNT_SCAN_TPS": "4"}
     saved = {k: os.environ.get(k) for k in knobs}
@@ -290,6 +343,7 @@ if N < 6_000_000:
     guard("2. flat build", s2_build_flat, tags=("flat",))
     guard("3. ground truth", s3_ground_truth, tags=("hnsw", "flat"))
     guard("4. hnsw ef sweep", s4_hnsw_sweep, tags=("hnsw",))
+    guard("4b. entry modes", s4b_entry_modes, tags=("hnsw", "entry"))
     guard("5. flat serving", s5_flat_serving, tags=("flat",))
     guard("6. latency", s6_latency, tags=("hnsw", "flat"))
     guard("7. append", s7_append, tags=("append",))
@@ -311,6 +365,7 @@ else:
         gc.collect()
     guard("1. hnsw build", s1_build_hnsw, tags=("hnsw", "append"))
     guard("4. hnsw ef sweep", s4_hnsw_sweep, tags=("hnsw",))
+    guard("4b. entry modes", s4b_entry_modes, tags=("hnsw", "entry"))
     guard("6b. hnsw latency", lambda: s6_latency(("hnsw",)),
           tags=("hnsw",))
     guard("7. append", s7_append, tags=("append",))

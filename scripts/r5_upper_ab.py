@@ -46,9 +46,15 @@ from scintirete_tpu.types import (  # noqa: E402
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
 DIM, K, NQ, PASSES = 128, 10, 4096, 3
+# SCNT_UPPER_MODE=knn A/Bs the round-4 exact-kNN upper build instead of
+# the sequential one (fast builds; routing must then come from mid entry)
+_UPPER = os.environ.get("SCNT_UPPER_MODE", "seq")
+# R5_MODES=descent_greedy_mid,pivot_default restricts the serving matrix
+_MODES = set(m for m in os.environ.get("R5_MODES", "").split(",") if m)
 OUT = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
-                   f"upper_seq_{N}.json")
+                   f"upper_{_UPPER}_{N}.json")
 result: dict = {"n": N, "dim": DIM, "workload": "clustered_v2",
+                "upper_mode": _UPPER,
                 "upper_efc": os.environ.get("SCNT_UPPER_EFC", "64"),
                 "round_cap": os.environ.get("SCNT_UPPER_ROUND_CAP", ""),
                 "started": time.strftime("%Y-%m-%dT%H:%M:%S"), "modes": []}
@@ -117,6 +123,8 @@ def recall_of(results):
 
 
 def run_mode(label, env, efs=(12, 24)):
+    if _MODES and label not in _MODES:
+        return
     saved = {k: os.environ.get(k) for k in env}
     os.environ.update(env)
     try:

@@ -479,6 +479,25 @@ class TestMidLayerEntry:
         )
         assert hits / 320 >= 0.9
 
+    def test_mid_cap_change_refreshes_table(self, rng, monkeypatch):
+        """A/B scripts flip SCNT_DESCENT_MID_CAP between serving modes on
+        an already-synced mirror; sync() must re-derive the mid table even
+        when store.version is unchanged."""
+        monkeypatch.setenv("SCNT_DESCENT_MID_CAP", "64")
+        idx, vecs = self._build(rng, n=3000)
+        dev = idx._get_device()
+        dev.search(idx.store, vecs[:4], 5, 30, entry_mode="descent")
+        g = dev.graph if hasattr(dev, "graph") else dev
+        lvl_small = g.mid_level
+        monkeypatch.setenv("SCNT_DESCENT_MID_CAP", "1024")
+        dev.search(idx.store, vecs[:4], 5, 30, entry_mode="descent")
+        lvl_big = g.mid_level
+        assert lvl_big <= lvl_small
+        if lvl_big and lvl_small:
+            n_small = idx.store.layers[lvl_small - 1].count
+            n_big = idx.store.layers[lvl_big - 1].count
+            assert n_big >= n_small  # lower layer => more members
+
     def test_mid_excludes_deleted(self, rng, monkeypatch):
         monkeypatch.setenv("SCNT_DESCENT_MID_CAP", "256")
         monkeypatch.setenv("SCNT_SEARCH_EF_UPPER", "4")

@@ -652,14 +652,19 @@ def test_resident_cache_hits_and_invalidates(rng):
     assert ok >= 62
 
 
-def test_greedy_descent_routes_clustered(rng):
+def test_greedy_descent_routes_clustered(rng, monkeypatch):
     """The sequential-semantics upper hierarchy must carry the REFERENCE's
     routing — greedy ef=1 descent from the entry (hnsw.go:309-311) — on
     clustered data, where round-4's independent per-layer kNN upper graphs
     stranded the walker (VERDICT r4 item 1). Small-N canary for the
-    hardware-scale gate (benchmarks/upper_seq_1000000.json)."""
+    hardware-scale gate (benchmarks/upper_seq_1000000.json). Pinned to
+    SCNT_UPPER_MODE=seq + the pure top-down walk (no mid entry): the
+    default build is the fast kNN upper, whose routing contract is the
+    mid-entry one (TestMidLayerEntry in test_hnsw.py)."""
     from scintirete_tpu.index.device import DeviceIndex
 
+    monkeypatch.setenv("SCNT_UPPER_MODE", "seq")
+    monkeypatch.setenv("SCNT_DESCENT_MID", "0")
     data = clustered(rng, 4000, dim=24, n_clusters=40)
     store = GraphStore(
         24,
