@@ -887,18 +887,31 @@ def pivot_sample_host(store: GraphStore) -> dict[str, Any]:
     }
 
 
+def descent_mid_cap(n_pub: int) -> int:
+    """Effective SCNT_DESCENT_MID_CAP: explicit env wins; otherwise scale
+    with the corpus — n/256, floored at 8192 and capped at 65536. The 8M
+    entry-mode A/B (benchmarks/curve_8000000_r5.json) showed the fixed 8k
+    default under-covers large corpora (descent recall 0.979 @ 8M) while
+    32k restores it (0.9978) at BETTER QPS than the smaller beam the 8k
+    entry needs — one extra MXU pass is cheaper than wider beams."""
+    env = os.environ.get("SCNT_DESCENT_MID_CAP")
+    if env:
+        return int(env)
+    return max(8192, min(65536, n_pub // 256))
+
+
 def mid_layer_host(store: GraphStore) -> dict[str, Any]:
     """Mid-entry layer for hierarchical descent serving: the LOWEST upper
     layer whose member count fits one cheap MXU pass (<=
-    SCNT_DESCENT_MID_CAP, default 8192 — ~2 MB of gathered vectors, ~1/128
-    of a 1M corpus). Scanning its members exactly and descending only the
+    descent_mid_cap(n) — ~2-16 MB of gathered vectors, ~1/256 of the
+    corpus). Scanning its members exactly and descending only the
     layers below replaces ~log2(N) serial walk layers with one matmul +
     ~log2(cap_env) layers. Members are filtered to the PUBLISHED watermark
     (same rule as pivot_sample_host — an unlinked member would be a
     dead-end entry). Returns {} when no upper layer qualifies (descent
     then walks from the top entrypoint as before)."""
-    cap_env = int(os.environ.get("SCNT_DESCENT_MID_CAP", 8192))
     n_pub = max(store.linked_count, 1)
+    cap_env = descent_mid_cap(n_pub)
     for l, ls in enumerate(store.layers, start=1):
         if ls.count == 0 or ls.count > cap_env:
             continue
@@ -952,7 +965,7 @@ class DeviceGraph:
 
     def sync(self, store: GraphStore) -> None:
         with self._sync_mu:
-            cap_env = int(os.environ.get("SCNT_DESCENT_MID_CAP", 8192))
+            cap_env = descent_mid_cap(max(store.linked_count, 1))
             if store.version == self._version:
                 # the mid-entry cap knob changed since the mirror synced
                 # (A/B scripts flip it between serving modes): re-derive
@@ -1011,7 +1024,7 @@ class DeviceGraph:
     def _mid_arrays(self, store: GraphStore) -> dict[str, Any]:
         host = mid_layer_host(store)
         self.mid_level = int(host.pop("mid_level", 0))
-        self._mid_cap = int(os.environ.get("SCNT_DESCENT_MID_CAP", 8192))
+        self._mid_cap = descent_mid_cap(max(store.linked_count, 1))
         return {k: jnp.asarray(v) for k, v in host.items()}
 
     def _full_upload(self, store: GraphStore) -> None:

@@ -43,6 +43,15 @@ _MIN_CAP = 256
 # 100k and 1M on one v5e; re-measured below 128k after the packed-key
 # kernel rework — SCNT_FUSED_MIN_CAP overrides for profiling)
 _FUSED_MIN_CAP = int(os.environ.get("SCNT_FUSED_MIN_CAP", 1 << 18))
+# widest single fused dispatch: the packed int8 kernel's resident
+# [SUB, LANES] f32 output pair exceeds the 16 MB scoped-VMEM budget when
+# the compiler double-buffers it for wider batches (measured: B=8192
+# compiles fail; B=4096 is the widest proven shape). Wider search_batch
+# calls loop fixed 4096-query dispatches and still fetch ONE packed
+# result — dispatches queue back-to-back on device, so the per-call wall
+# stays one upload + one fetch RT; bounding the shape set also keeps the
+# per-process program-load count flat (tunnel rule, docs/architecture.md).
+_FUSED_MAX_B = 4096
 def _query_f16() -> bool:
     """Upload queries as f16 instead of f32: halves the host->device
     bytes — the dominant serving cost over a tunneled TPU (~160 ms of a
@@ -559,16 +568,12 @@ class FlatIndex:
             and k <= 128
         )
         if use_fused:
-            # the 2D-grid kernel covers any pow2 batch in ONE program:
-            # no sub-batch loop, one dispatch, one packed fetch — the
-            # round-2 path's per-call dispatch overhead over the tunnel
-            # was the dominant cost (~3% MFU)
-            padded = max(1 << (B - 1).bit_length(), 8)
-            chunk = queries
-            if padded > B:
-                chunk = np.concatenate(
-                    [queries, np.zeros((padded - B, self.dim), np.float32)]
-                )
+            # one 2D-grid dispatch covers up to _FUSED_MAX_B pow2 queries
+            # (no Python sub-batch loop below that width — the round-2
+            # path's per-call dispatch overhead over the tunnel was the
+            # dominant cost, ~3% MFU); wider batches loop fixed-width
+            # dispatches that queue back-to-back on device and still
+            # produce ONE packed fetch
             mode = _query_upload_mode()
             # scan tiles folded per grid step: fewer/fatter steps cut the
             # per-step fixed overhead (~half the kernel wall at tps=1)
@@ -577,28 +582,37 @@ class FlatIndex:
                 self.dim,
                 elt_bytes=1 if a["scan"].dtype == jnp.int8 else 2,
             )
-            if mode == "int8":
-                q8, qsc = _quant8(chunk)
-                q_up = jnp.asarray(q8)
-                q_scale = jnp.asarray(qsc)
-            else:
-                up_dtype = jnp.float16 if mode == "f16" else jnp.float32
-                q_up = jnp.asarray(chunk, up_dtype)
-                q_scale = None
-            d, s = flat_topk_fused(
-                q_up,
-                a["scan"],
-                a["vectors"],
-                a["valid"],
-                int(self.metric),
-                k,
-                a.get("scan_sq", a["sq_norms"]),
-                width=max(4 * k, 64),
-                base_scale=a.get("scan_scale"),
-                tps=tps,
-                query_scale=q_scale,
-            )
-            return self._pack_payload(B, k, [(0, B, d, s)])
+            for start in range(0, B, _FUSED_MAX_B):
+                chunk = queries[start : start + _FUSED_MAX_B]
+                n = chunk.shape[0]
+                padded = max(1 << (n - 1).bit_length(), 8)
+                if padded > n:
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((padded - n, self.dim), np.float32)]
+                    )
+                if mode == "int8":
+                    q8, qsc = _quant8(chunk)
+                    q_up = jnp.asarray(q8)
+                    q_scale = jnp.asarray(qsc)
+                else:
+                    up_dtype = jnp.float16 if mode == "f16" else jnp.float32
+                    q_up = jnp.asarray(chunk, up_dtype)
+                    q_scale = None
+                d, s = flat_topk_fused(
+                    q_up,
+                    a["scan"],
+                    a["vectors"],
+                    a["valid"],
+                    int(self.metric),
+                    k,
+                    a.get("scan_sq", a["sq_norms"]),
+                    width=max(4 * k, 64),
+                    base_scale=a.get("scan_scale"),
+                    tps=tps,
+                    query_scale=q_scale,
+                )
+                in_flight.append((start, n, d, s))
+            return self._pack_payload(B, k, in_flight)
         # an int8 scan copy is only usable by the fused kernel; elsewhere
         # fall back to the plain f32 scan
         scan8 = "scan" in a and a["scan"].dtype == jnp.int8
