@@ -103,6 +103,28 @@ def _sanitize_tps(
     return tps
 
 
+_DEVICE_SLICE_CACHE: dict[int, Any] = {}
+
+
+def _device_slice(arr, start, width: int):
+    """Slice `width` rows starting at traced `start` out of a
+    device-resident batch — the chunked fused path's way of feeding
+    fixed-width kernel dispatches from ONE whole-batch upload (per-chunk
+    host->device transfers each pay tunnel round-trip + per-transfer
+    protocol overhead; a dynamic_slice is a ~free device-side op). One
+    jitted program per width (start is a traced scalar, so chunk offsets
+    don't mint variants)."""
+    import jax
+
+    fn = _DEVICE_SLICE_CACHE.get(width)
+    if fn is None:
+        def _slice(a, s):
+            return jax.lax.dynamic_slice_in_dim(a, s, width, axis=0)
+
+        fn = _DEVICE_SLICE_CACHE[width] = jax.jit(_slice)
+    return fn(arr, start)
+
+
 def _quant8(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Per-row symmetric int8 quantization (host mirror of
     ops.pallas_scan.quantize_rows)."""
@@ -571,9 +593,11 @@ class FlatIndex:
             # one 2D-grid dispatch covers up to _FUSED_MAX_B pow2 queries
             # (no Python sub-batch loop below that width — the round-2
             # path's per-call dispatch overhead over the tunnel was the
-            # dominant cost, ~3% MFU); wider batches loop fixed-width
-            # dispatches that queue back-to-back on device and still
-            # produce ONE packed fetch
+            # dominant cost, ~3% MFU); wider batches upload the WHOLE
+            # batch in one transfer, slice fixed-width chunks ON DEVICE
+            # (dynamic_slice — no per-chunk host->device RT), and loop
+            # fixed-width dispatches that queue back-to-back on device,
+            # still producing ONE packed fetch
             mode = _query_upload_mode()
             # scan tiles folded per grid step: fewer/fatter steps cut the
             # per-step fixed overhead (~half the kernel wall at tps=1)
@@ -582,24 +606,36 @@ class FlatIndex:
                 self.dim,
                 elt_bytes=1 if a["scan"].dtype == jnp.int8 else 2,
             )
-            for start in range(0, B, _FUSED_MAX_B):
-                chunk = queries[start : start + _FUSED_MAX_B]
-                n = chunk.shape[0]
-                padded = max(1 << (n - 1).bit_length(), 8)
-                if padded > n:
-                    chunk = np.concatenate(
-                        [chunk, np.zeros((padded - n, self.dim), np.float32)]
+            if B > _FUSED_MAX_B:
+                width = _FUSED_MAX_B
+                padded_B = -(-B // width) * width
+            else:
+                width = padded_B = max(1 << (B - 1).bit_length(), 8)
+            full = queries
+            if padded_B > B:
+                full = np.concatenate(
+                    [queries, np.zeros((padded_B - B, self.dim), np.float32)]
+                )
+            if mode == "int8":
+                q8, qsc = _quant8(full)
+                q_up = jnp.asarray(q8)
+                q_scale_up = jnp.asarray(qsc)
+            else:
+                up_dtype = jnp.float16 if mode == "f16" else jnp.float32
+                q_up = jnp.asarray(full, up_dtype)
+                q_scale_up = None
+            for start in range(0, padded_B, width):
+                if padded_B > width:
+                    qc = _device_slice(q_up, np.int32(start), width)
+                    qs = (
+                        _device_slice(q_scale_up, np.int32(start), width)
+                        if q_scale_up is not None
+                        else None
                     )
-                if mode == "int8":
-                    q8, qsc = _quant8(chunk)
-                    q_up = jnp.asarray(q8)
-                    q_scale = jnp.asarray(qsc)
                 else:
-                    up_dtype = jnp.float16 if mode == "f16" else jnp.float32
-                    q_up = jnp.asarray(chunk, up_dtype)
-                    q_scale = None
+                    qc, qs = q_up, q_scale_up
                 d, s = flat_topk_fused(
-                    q_up,
+                    qc,
                     a["scan"],
                     a["vectors"],
                     a["valid"],
@@ -609,9 +645,11 @@ class FlatIndex:
                     width=max(4 * k, 64),
                     base_scale=a.get("scan_scale"),
                     tps=tps,
-                    query_scale=q_scale,
+                    query_scale=qs,
                 )
-                in_flight.append((start, n, d, s))
+                n_here = min(B - start, width)
+                if n_here > 0:
+                    in_flight.append((start, n_here, d, s))
             return self._pack_payload(B, k, in_flight)
         # an int8 scan copy is only usable by the fused kernel; elsewhere
         # fall back to the plain f32 scan

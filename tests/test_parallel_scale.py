@@ -48,7 +48,7 @@ def test_sharded_64k_recall_gate():
         mesh=mesh,
     )
     idx.bulk_insert(list(range(1, N + 1)), vecs)
-    assert idx.count() == N
+    assert idx.size() == N
 
     queries = (centers[rng.integers(0, 256, NQ)]
                + 0.3 * rng.standard_normal((NQ, DIM))).astype(np.float32)
