@@ -442,20 +442,47 @@ def run_scale(n, rng):
     # gated below anyway) + 4 corpus tiles per grid step. 39.9k vs 21.4k
     # QPS at default knobs, B=4096 depth 3. Library defaults stay
     # reference-exact; the bench opts in and reports the knobs.
-    flat_knobs = {"SCNT_QUERY_F16": "1", "SCNT_SCAN_TPS": "4"}
+    # Round-5 wide serving (VERDICT r4 item 6; benchmarks/flat_push3_1m
+    # .json): at n >= 1M the measured winner is f16 query upload, 16 scan
+    # tiles per grid step, 65536-wide batches (one whole-batch upload,
+    # on-device 4096-chunk slicing), depth-3 pipelining, and the packed-
+    # array collect (u64 ids + f32 dists — no per-hit Python tuples; the
+    # same shape the BatchSearch RPC serves). Smaller scales keep the
+    # round-4 4096-wide tuple path (BENCH_FLAT_B overrides).
+    flat_wide = int(os.environ.get(
+        "BENCH_FLAT_B", 65536 if n >= 1_000_000 else 0
+    ))
+    if flat_wide:
+        flat_knobs = {"SCNT_QUERY_DTYPE": "f16", "SCNT_SCAN_TPS": "16"}
+    else:
+        flat_knobs = {"SCNT_QUERY_F16": "1", "SCNT_SCAN_TPS": "4"}
     saved_env = {k: os.environ.get(k) for k in flat_knobs}
     os.environ.update(flat_knobs)
-    out["flat_knobs"] = {**flat_knobs, "depth": 3}
-    flat.search_batch(queries, params)  # warm (kernel + packed fetch)
+    out["flat_knobs"] = {**flat_knobs, "depth": 3, "B": flat_wide or BATCH,
+                         "collect": "arrays" if flat_wide else "tuples"}
     # steady-state pipelined serving (depth 3): a loaded server keeps the
     # next batches' upload+kernel in flight while the previous batch's
     # results stream back — the tunnel transfer is the wall, not the scan
     # (scripts/prof_tunnel_floor.py), so overlapping the two is the honest
     # picture of sustained throughput. 6 independent passes, averaged.
     n_passes = 6
-    t0 = time.time()
-    outs = flat.search_batch_pipelined([queries] * n_passes, params, depth=3)
-    elapsed = (time.time() - t0) / n_passes
+    outs = aouts = None
+    if flat_wide:
+        reps = (flat_wide + len(queries) - 1) // len(queries)
+        wide = np.concatenate([queries] * reps)[:flat_wide]
+        flat.search_batch(wide, params)  # warm (kernel + packed fetch)
+        t0 = time.time()
+        aouts = flat.search_batch_pipelined_arrays(
+            [wide] * n_passes, params, depth=3
+        )
+        elapsed = (time.time() - t0) / n_passes / (flat_wide / N_QUERIES)
+    else:
+        flat.search_batch(queries, params)  # warm (kernel + packed fetch)
+        t0 = time.time()
+        outs = flat.search_batch_pipelined(
+            [queries] * n_passes, params, depth=3
+        )
+        elapsed = (time.time() - t0) / n_passes
     # device-only kernel rate (VERDICT r3 item 5): time the fused scan with
     # device-RESIDENT queries so kernel efficiency and the tunnel tax are
     # separately visible (end-to-end TOPS below conflates them).
@@ -537,9 +564,16 @@ def run_scale(n, rng):
         log(f"n={n}: device-only timing skipped: {e}")
     for k_, v_ in saved_env.items():
         os.environ.pop(k_, None) if v_ is None else os.environ.update({k_: v_})
-    fresults = outs[-1]
     fqps = N_QUERIES / elapsed
-    frecall = recall_of(fresults, true_i)
+    if flat_wide:
+        # vectorized recall on the last pass (steady state): wide-batch
+        # row j is queries[j % N_QUERIES] by construction
+        ids0 = aouts[-1][0][: len(true_i)]
+        want = (true_i + 1).astype(np.uint64)
+        hits = (ids0[:, :, None] == want[:, None, :]).any(axis=1).sum()
+        frecall = float(hits) / want.size
+    else:
+        frecall = recall_of(outs[-1], true_i)
     out["flat_qps"] = round(fqps, 1)
     out["flat_recall_at_10"] = round(frecall, 4)
     # achieved scan rate: each query scores all n rows (D MACs each).
