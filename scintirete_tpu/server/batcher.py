@@ -41,6 +41,11 @@ class SearchBatcher:
         self.max_batch = max_batch
         self.max_delay = max_delay_ms / 1000.0
         self.enabled = enabled
+        # (width, wall_seconds) of recent waves — serving diagnostics
+        # (scripts/r5_legacy_conc.py); deque append is O(1)/lock-free
+        from collections import deque
+
+        self.wave_log: Any = deque(maxlen=4096)
         self._lock = threading.Lock()
         # key -> (executor, [pending], first_enqueue_time)
         self._groups: dict[Any, list] = {}
@@ -120,9 +125,9 @@ class SearchBatcher:
                 if group is not None:
                     self._run(group)
 
-    @staticmethod
-    def _run(group) -> None:
+    def _run(self, group) -> None:
         execute_batch, pendings, _ = group
+        t0 = time.perf_counter()
         try:
             queries = np.stack([p.query for p in pendings])
             results = execute_batch(queries)
@@ -132,6 +137,9 @@ class SearchBatcher:
             for p in pendings:
                 p.error = exc
         finally:
+            self.wave_log.append(
+                (len(pendings), time.perf_counter() - t0)
+            )
             for p in pendings:
                 p.event.set()
 
